@@ -1,0 +1,97 @@
+"""Golden parity: S-level SSP planner vs the reference torch S_SSP."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vsrcic_tpu.models.s_ssp import (
+    SSPConfig, init_ssp_params, ssp_forward_loss, ssp_generate, ssp_encode)
+from vsrcic_tpu.utils.torch_import import nest_state_dict
+
+from reference_loader import load_reference_ssp
+
+L = 10
+B = 5
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    torch.manual_seed(0)
+    return load_reference_ssp(dataset="coco")
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return SSPConfig(dataset="coco")
+
+
+@pytest.fixture(scope="module")
+def params(ref_model):
+    return nest_state_dict(ref_model.state_dict())
+
+
+def make_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    verb = rng.randint(1, 2663, size=(B, 1)).astype(np.int64)
+    verb[1] += 10000  # flickr-style occurrence offset, stripped by % 10000
+    det_sr = np.zeros((B, L), np.int64)
+    gt_sr = np.zeros((B, L), np.int64)
+    for i in range(B):
+        n = rng.randint(1, 8)
+        roles = rng.choice(np.arange(1, 26), size=n, replace=False)
+        det_sr[i, :n] = roles
+        gt_sr[i, :n] = rng.permutation(roles)
+    return verb, det_sr, gt_sr
+
+
+def test_forward_loss_matches(ref_model, cfg, params):
+    verb, det_sr, gt_sr = make_batch()
+    with torch.no_grad():
+        loss_t = ref_model(torch.tensor(verb), torch.tensor(det_sr),
+                           torch.tensor(gt_sr))
+    loss_j = jax.jit(lambda v, d, g: ssp_forward_loss(params, cfg, v, d, g))(
+        jnp.asarray(verb), jnp.asarray(det_sr), jnp.asarray(gt_sr))
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=2e-5)
+
+
+def test_generate_normal_matches(ref_model, cfg, params):
+    verb, det_sr, _ = make_batch(1)
+    pred_j, lps_j = jax.jit(
+        lambda v, d: ssp_generate(params, cfg, v, d, mode="normal"))(
+        jnp.asarray(verb), jnp.asarray(det_sr))
+    # reference generate normal mode is batched (verb must be (B,1) to
+    # broadcast in its encoder)
+    with torch.no_grad():
+        pred_t, lps_t, _ = ref_model.generate(
+            torch.tensor(verb), torch.tensor(det_sr), mode="normal")
+    np.testing.assert_array_equal(np.asarray(pred_j), pred_t.numpy())
+
+
+def test_generate_constrained_matches(ref_model, cfg, params):
+    # reference constrained mode only supports batch 1; compare per-example
+    verb, det_sr, _ = make_batch(2)
+    pred_j, lps_j = jax.jit(
+        lambda v, d: ssp_generate(params, cfg, v, d, mode="not-normal"))(
+        jnp.asarray(verb), jnp.asarray(det_sr))
+    for i in range(B):
+        with torch.no_grad():
+            pred_t, lps_t, _ = ref_model.generate(
+                torch.tensor(verb[i]), torch.tensor(det_sr[i: i + 1]),
+                mode="not-normal")
+        np.testing.assert_array_equal(np.asarray(pred_j[i]), pred_t[0].numpy())
+        # constrained output must be a permutation of the non-zero input SRs
+        got = sorted(x for x in np.asarray(pred_j[i]) if x != 0)
+        want = sorted(x for x in det_sr[i] if x != 0)
+        assert got == want
+
+
+def test_constrained_emits_each_slot_once(cfg, params):
+    # duplicate SR values in input: each slot must be consumed exactly once
+    verb = np.array([[5]], np.int64)
+    det_sr = np.array([[2, 2, 7, 0, 0, 0, 0, 0, 0, 0]], np.int64)
+    pred, _ = ssp_generate(params, cfg, jnp.asarray(verb),
+                           jnp.asarray(det_sr), mode="not-normal")
+    got = sorted(x for x in np.asarray(pred[0]) if x != 0)
+    assert got == [2, 2, 7]

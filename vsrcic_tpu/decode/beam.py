@@ -1,0 +1,145 @@
+"""Joint (word x shift-gate) beam search as a single jitted scan.
+
+Re-design of the reference beam engine (models/CaptioningModel.py:116-294):
+the reference keeps beam state in Python lists and re-gathers tensors with
+`_select_beam` per step on device+host; here the full beam state — recurrent
+state, running scores, EOS masks, emitted tokens and per-step logprobs — is a
+fixed-shape pytree resident in HBM, advanced by `lax.scan`, with beam
+reindexing as `take_along_axis` gathers. The joint expansion scores the
+(beam x vocab x gate) product space and top-k's over its flattening, exactly
+like the reference's `sort` over `seq_logprob.view(b_s, -1)` (ref :238-255),
+including:
+
+  * EOS masking of recorded per-output logprobs via multiplicative seq_masks
+    (ref :228-230),
+  * the finished-beam freeze that pins scores to word 0 via
+    `old_seq_logprob[:, :, 1:] = -999` (ref :231-235) — which, as in the
+    reference, only activates when *all* outputs hit their EOS ids,
+  * beam/word/gate recovery by floor-division of the flat index (ref :242-255).
+
+`step_fn` is any callable `(state, prev_word, prev_gate, t0) ->
+((word_logp, gate_logp), state)` over flattened (batch*beam) leading dim, so
+the same engine drives `step` and the verb-substituting `step_v`.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BeamResult(NamedTuple):
+    words: jnp.ndarray        # (B, K, T) int32, beams sorted by score desc
+    gates: jnp.ndarray        # (B, K, T) int32
+    word_logps: jnp.ndarray   # (B, K, T)
+    gate_logps: jnp.ndarray   # (B, K, T)
+    scores: jnp.ndarray       # (B, K)
+
+
+def _gather_beam(tree, sel, batch, beam):
+    """Reindex every (batch*beam, ...) leaf by per-item beam selection sel (B, K)."""
+    def g(x):
+        xk = x.reshape((batch, beam) + x.shape[1:])
+        selx = sel.reshape((batch, beam) + (1,) * (xk.ndim - 2))
+        out = jnp.take_along_axis(xk, selx.astype(jnp.int32), axis=1)
+        return out.reshape((batch * beam,) + x.shape[1:])
+    return jax.tree.map(g, tree)
+
+
+def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
+                      seq_len: int, eos_word: int, eos_gate: int = -1) -> BeamResult:
+    """Run the joint beam search.
+
+    `state` must already be expanded to leading dim batch*beam_size with all
+    beams of an item identical (beam 0 is the live one at t=0).
+    """
+    k = beam_size
+
+    def expand_and_select(seq_logprob, w, g, t0_mask=None):
+        total = seq_logprob[:, :, None, None] + w[:, :, :, None] + g[:, :, None, :]
+        if t0_mask is not None:
+            total = jnp.where(t0_mask, total, -jnp.inf)
+        v2 = w.shape[-1] * 2
+        flat = total.reshape(batch, k * v2)
+        sel_logprob, idx = jax.lax.top_k(flat, k)
+        sel_beam = idx // v2
+        rem = idx - sel_beam * v2
+        word = rem // 2
+        gate = rem - word * 2
+        return sel_logprob, sel_beam, word.astype(jnp.int32), gate.astype(jnp.int32)
+
+    # ----- t = 0: single live beam ------------------------------------------
+    zeros_bk = jnp.zeros((batch * k,), jnp.int32)
+    (w_logp, g_logp), state = step_fn(state, zeros_bk, zeros_bk, True)
+    vocab = w_logp.shape[-1]
+    w = w_logp.reshape(batch, k, vocab)
+    g = g_logp.reshape(batch, k, 2)
+    beam0 = (jnp.arange(k) == 0)[None, :, None, None]
+    seq_logprob, sel_beam, word, gate = expand_and_select(
+        jnp.zeros((batch, k)), w, g, t0_mask=beam0)
+    state = _gather_beam(state, sel_beam, batch, k)
+
+    words = jnp.zeros((batch, k, seq_len), jnp.int32).at[:, :, 0].set(word)
+    gates = jnp.zeros((batch, k, seq_len), jnp.int32).at[:, :, 0].set(gate)
+    rec = lambda o, s, i: jnp.take_along_axis(
+        jnp.take_along_axis(o, s[:, :, None], 1), i[:, :, None], 2)[:, :, 0]
+    w_lp0 = rec(w, sel_beam, word)
+    g_lp0 = rec(g, sel_beam, gate)
+    word_logps = jnp.zeros((batch, k, seq_len)).at[:, :, 0].set(w_lp0)
+    gate_logps = jnp.zeros((batch, k, seq_len)).at[:, :, 0].set(g_lp0)
+    mask_w = jnp.ones((batch, k))
+    mask_g = jnp.ones((batch, k))
+
+    # ----- t >= 1 ------------------------------------------------------------
+    def body(carry, t):
+        (state, seq_logprob, mask_w, mask_g, word, gate,
+         words, gates, word_logps, gate_logps) = carry
+        (w_logp, g_logp), state = step_fn(
+            state, word.reshape(-1), gate.reshape(-1), False)
+        w = w_logp.reshape(batch, k, vocab)
+        g = g_logp.reshape(batch, k, 2)
+
+        # EOS masks from previously selected outputs (ref :228-229)
+        mask_w = mask_w * (word != eos_word)
+        mask_g = mask_g * (gate != eos_gate)
+        w_rec = w * mask_w[:, :, None]
+        g_rec = g * mask_g[:, :, None]
+
+        total = seq_logprob[:, :, None, None] + w[:, :, :, None] + g[:, :, None, :]
+        # finished-beam freeze (ref :231-235): keep old score at word 0 only
+        mask_full = jnp.clip(mask_w + mask_g, 0.0, 1.0)
+        word_is0 = (jnp.arange(vocab) == 0)[None, None, :, None]
+        frozen = jnp.where(word_is0, seq_logprob[:, :, None, None], -999.0)
+        total = jnp.where((mask_full == 1.0)[:, :, None, None], total, frozen)
+
+        v2 = vocab * 2
+        flat = total.reshape(batch, k * v2)
+        seq_logprob, idx = jax.lax.top_k(flat, k)
+        sel_beam = idx // v2
+        rem = idx - sel_beam * v2
+        word = (rem // 2).astype(jnp.int32)
+        gate = (rem - (rem // 2) * 2).astype(jnp.int32)
+
+        state = _gather_beam(state, sel_beam, batch, k)
+        g2 = lambda a: jnp.take_along_axis(a, sel_beam, axis=1)
+        g3 = lambda a: jnp.take_along_axis(a, sel_beam[:, :, None], axis=1)
+        mask_w, mask_g = g2(mask_w), g2(mask_g)
+        words = g3(words).at[:, :, t].set(word)
+        gates = g3(gates).at[:, :, t].set(gate)
+        # NB: the reference appends per-step logprobs WITHOUT re-gathering the
+        # history along the selected beams (ref :273 — only `outputs` go
+        # through _select_beam), so recorded logps track beam *slots*, not
+        # ancestries. Reproduced for parity.
+        word_logps = word_logps.at[:, :, t].set(rec(w_rec, sel_beam, word))
+        gate_logps = gate_logps.at[:, :, t].set(rec(g_rec, sel_beam, gate))
+        return (state, seq_logprob, mask_w, mask_g, word, gate,
+                words, gates, word_logps, gate_logps), None
+
+    carry = (state, seq_logprob, mask_w, mask_g, word, gate,
+             words, gates, word_logps, gate_logps)
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(1, seq_len))
+    (_, seq_logprob, _, _, _, _, words, gates, word_logps, gate_logps) = carry
+
+    # top_k leaves beams already sorted by score desc (ref sorts again :279)
+    return BeamResult(words, gates, word_logps, gate_logps, seq_logprob)

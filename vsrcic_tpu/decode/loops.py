@@ -1,0 +1,132 @@
+"""Jitted decode loops for the role-shift captioner.
+
+Replaces the Python `for t in range(seq_len)` harness of the reference decode
+engine (reference: models/CaptioningModel.py:22-76) with `lax.scan` so the
+whole sequence compiles to a single XLA while-op with device-resident state.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vsrcic_tpu.core import nn
+from vsrcic_tpu.models.captioner import (
+    CaptionerConfig, CaptionerState, Statics, VerbTenseTable,
+    captioner_step, captioner_step_v, init_state, precompute_statics,
+)
+
+
+def forward_teacher_forcing(params, cfg: CaptionerConfig, detections,
+                            captions, ctrl_det_seqs):
+    """Teacher-forced forward (ref CaptioningModel.forward :22-36).
+
+    detections: (B, N, D); captions: (B, T) int32; ctrl_det_seqs: (B, T, M, D).
+    Returns (word_logp (B, T, V), gate_logp (B, T, 2)).
+
+    The group attention projections for all T steps are computed as one batched
+    matmul before the scan (MXU-friendly), not per step.
+    """
+    b, t_len = captions.shape
+    statics = precompute_statics(params, cfg, detections, ctrl_det_seqs)
+    det_proj_all = statics.det_groups_proj            # (B, T, M, A)
+    det_mask_all = statics.det_groups_mask            # (B, T, M)
+
+    xs = (
+        jnp.moveaxis(captions, 1, 0),                 # (T, B)
+        jnp.moveaxis(ctrl_det_seqs, 1, 0),            # (T, B, M, D)
+        jnp.moveaxis(det_proj_all, 1, 0),
+        jnp.moveaxis(det_mask_all, 1, 0),
+    )
+
+    from vsrcic_tpu.models.captioner import _step_core
+
+    def body(state: CaptionerState, x):
+        it, det_curr, det_proj, det_mask = x
+        (w, g), (h1, c1, h2, c2) = _step_core(
+            params, cfg, state, it, det_curr, det_proj, det_mask,
+            statics.image_descriptor)
+        return CaptionerState(h1, c1, h2, c2, state.ctrl_det_idx), (w, g)
+
+    _, (word_logp, gate_logp) = jax.lax.scan(body, init_state(cfg, b), xs)
+    return jnp.moveaxis(word_logp, 0, 1), jnp.moveaxis(gate_logp, 0, 1)
+
+
+def _feedback_scan(step_fn, cfg: CaptionerConfig, batch: int, seq_len: int,
+                   select_fn):
+    """Shared feedback-mode scan. select_fn maps (key, word_logp, gate_logp) ->
+    (word, gate, extras...) chosen outputs fed back next step."""
+
+    def body(carry, key_t):
+        state, prev_word, prev_gate, t = carry
+        (w_logp, g_logp), state = step_fn(state, prev_word, prev_gate, t == 0)
+        word, gate, *extras = select_fn(key_t, w_logp, g_logp)
+        return (state, word, gate, t + 1), (word, gate, *extras)
+
+    return body
+
+
+def greedy_decode(params, cfg: CaptionerConfig, statics: Statics,
+                  seq_len: Optional[int] = None):
+    """Greedy feedback decode (ref CaptioningModel.test :38-52).
+
+    Returns (words (B, T), gates (B, T)).
+    """
+    t_len = seq_len or cfg.seq_len
+    b = statics.image_descriptor.shape[0]
+
+    def step_fn(state, prev_word, prev_gate, t0):
+        return captioner_step(params, cfg, state, statics,
+                              prev_word=prev_word, prev_gate=prev_gate, t0=t0)
+
+    def body(carry, _):
+        state, prev_word, prev_gate, t = carry
+        (w_logp, g_logp), state = jax.lax.cond(
+            t == 0,
+            lambda s: step_fn(s, prev_word, prev_gate, True),
+            lambda s: step_fn(s, prev_word, prev_gate, False),
+            state)
+        word = jnp.argmax(w_logp, -1).astype(jnp.int32)
+        gate = jnp.argmax(g_logp, -1).astype(jnp.int32)
+        return (state, word, gate, t + 1), (word, gate)
+
+    init = (init_state(cfg, b), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32), jnp.int32(0))
+    _, (words, gates) = jax.lax.scan(body, init, None, length=t_len)
+    return jnp.moveaxis(words, 0, 1), jnp.moveaxis(gates, 0, 1)
+
+
+def sample_decode(params, cfg: CaptionerConfig, statics: Statics, key,
+                  seq_len: Optional[int] = None):
+    """Ancestral sampling with per-step logprobs (ref sample_rl :54-76).
+
+    Returns ((words, gates), (word_logps, gate_logps)) each (B, T).
+    Sampling is device-resident (no host round trip), powering SCST.
+    """
+    t_len = seq_len or cfg.seq_len
+    b = statics.image_descriptor.shape[0]
+    keys = jax.random.split(key, t_len)
+
+    def body(carry, key_t):
+        state, prev_word, prev_gate, t = carry
+        step = lambda t0: captioner_step(params, cfg, state, statics,
+                                         prev_word=prev_word,
+                                         prev_gate=prev_gate, t0=t0)
+        (w_logp, g_logp), new_state = jax.lax.cond(
+            t == 0, lambda _: step(True), lambda _: step(False), None)
+        kw, kg = jax.random.split(key_t)
+        word = jax.random.categorical(kw, w_logp).astype(jnp.int32)
+        gate = jax.random.categorical(kg, g_logp).astype(jnp.int32)
+        w_lp = jnp.take_along_axis(
+            jax.nn.log_softmax(w_logp, -1), word[:, None], 1)[:, 0]
+        g_lp = jnp.take_along_axis(
+            jax.nn.log_softmax(g_logp, -1), gate[:, None], 1)[:, 0]
+        return (new_state, word, gate, t + 1), (word, gate, w_lp, g_lp)
+
+    init = (init_state(cfg, b), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32), jnp.int32(0))
+    _, (words, gates, w_lps, g_lps) = jax.lax.scan(body, init, keys)
+    tr = lambda a: jnp.moveaxis(a, 0, 1)
+    return (tr(words), tr(gates)), (tr(w_lps), tr(g_lps))
