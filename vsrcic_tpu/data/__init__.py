@@ -1,0 +1,13 @@
+from vsrcic_tpu.data.store import (  # noqa: F401
+    DetRecord, HDF5FeatureStore, PackedFeatureStore, SyntheticFeatureStore)
+from vsrcic_tpu.data.fields import (  # noqa: F401
+    RawField, COCOControlSequenceField, ImageDetectionsField,
+    COCOControlSetField, COCOControlSetField_Verb, COCODetSetField,
+    COCODetSetField_Verb, SR_2_IDX)
+from vsrcic_tpu.data.fields_flickr import (  # noqa: F401
+    FlickrDetectionField, FlickrControlSetField, FlickrControlSetField_Verb,
+    FlickrDetSetField, FlickrDetSetField_Verb)
+from vsrcic_tpu.data.dataset import (  # noqa: F401
+    Example, PairedDataset, DictionaryDataset, DataLoader, COCOEntities,
+    FlickrEntities)
+from vsrcic_tpu.data.synthetic import SyntheticCOCO  # noqa: F401
