@@ -1,0 +1,75 @@
+"""Benchmark: beam-5 joint decode throughput of the flagship captioner.
+
+Prints ONE JSON line:
+  {"metric": "captions_per_sec_per_chip_beam5", "value": N,
+   "unit": "captions/s/chip", "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north star of >=10k
+captions/s on a v5e-8, i.e. 1250 captions/s/chip.
+
+Runs on whatever device jax selects (the driver runs it on one real TPU
+chip). Model dims mirror the reference captioner (det 2048, embed/rnn 1000,
+att 512, vocab ~10k, seq 20 — controllable_captioning.py:11) with realistic
+control shapes (10 region groups x 20 regions).
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_PER_CHIP = 1250.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vsrcic_tpu.models.api import ControllableCaptioner
+    from vsrcic_tpu.models.captioner import CaptionerConfig
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+
+    batch = 256 if on_tpu else 4
+    beam = 5
+    cfg = CaptionerConfig(seq_len=20, vocab_size=10000, bos_idx=2,
+                          det_feat_size=2048, input_encoding_size=1000,
+                          rnn_size=1000, att_size=512)
+    L, M, N_DET = 10, 20, 50
+
+    key = jax.random.PRNGKey(0)
+    captioner = ControllableCaptioner(
+        cfg, key=key,
+        verb_2_vob_all={str(i): [5 + i, 40 + i] for i in range(1, 200)})
+
+    kd, kg, kv = jax.random.split(key, 3)
+    detections = jax.random.normal(kd, (batch, N_DET, cfg.det_feat_size),
+                                   jnp.float32)
+    det_groups = jax.random.normal(kg, (batch, L, M, cfg.det_feat_size),
+                                   jnp.float32)
+    verb_list = jnp.where(
+        jax.random.uniform(kv, (batch, L)) < 0.15,
+        jax.random.randint(kv, (batch, L), 1, 150), -1).astype(jnp.int32)
+
+    def run():
+        res = captioner.beam_search_v(detections, det_groups, verb_list,
+                                      eos_word=3, beam_size=beam)
+        return res.words.block_until_ready()
+
+    run()  # compile
+    n_iters = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        run()
+    dt = (time.perf_counter() - t0) / n_iters
+    caps_per_sec = batch / dt
+
+    print(json.dumps({
+        "metric": "captions_per_sec_per_chip_beam5",
+        "value": round(caps_per_sec, 2),
+        "unit": "captions/s/chip",
+        "vs_baseline": round(caps_per_sec / BASELINE_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

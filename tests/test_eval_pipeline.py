@@ -1,0 +1,133 @@
+"""End-to-end eval composition on synthetic data (reference config #1 shape).
+
+Exercises: entities -> fields -> DictionaryDataset batching -> verb-group
+extraction -> batched constrained planner decode -> batched Sinkhorn +
+Hungarian rounding -> rank merge -> feature permutation -> joint beam search
+-> decode -> metrics. All on the CPU mesh with tiny dims.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from vsrcic_tpu.data import (
+    COCOControlSetField_Verb, DataLoader, DictionaryDataset,
+    ImageDetectionsField, RawField, SyntheticCOCO)
+from vsrcic_tpu.metrics import Bleu, Cider, Rouge
+from vsrcic_tpu.models.api import ControllableCaptioner
+from vsrcic_tpu.models.captioner import CaptionerConfig
+from vsrcic_tpu.models.s_ssp import SSPConfig, init_ssp_params
+from vsrcic_tpu.models.sinkhorn import SinkhornConfig, init_sinkhorn_params
+from vsrcic_tpu.pipelines import CaptionJob, EvalPipeline
+from vsrcic_tpu.text import TextField, dedup_join, ptb_tokenize
+
+FEAT = 64  # small det features for CPU speed
+
+
+@pytest.fixture(scope="module")
+def world():
+    syn = SyntheticCOCO(n_images=6, n_val=2, n_test=4, feat_dim=FEAT, seed=0)
+    train, _, test = syn.sample_splits
+    tf = TextField(fix_length=20)
+    tf.build_vocab([e.text for e in train + test], min_freq=1)
+
+    cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),
+                          bos_idx=tf.bos_idx, det_feat_size=FEAT,
+                          input_encoding_size=24, rnn_size=16, att_size=8)
+    captioner = ControllableCaptioner(
+        cfg, key=jax.random.PRNGKey(0),
+        verb_2_vob_all=syn.verb_2_vob_all(tf))
+    ssp_cfg = SSPConfig(hidden_size=32, embed_size=32)
+    ssp_params = init_ssp_params(jax.random.PRNGKey(1), ssp_cfg)
+    kcfg = SinkhornConfig()
+    kparams = init_sinkhorn_params(jax.random.PRNGKey(2), kcfg)
+    return syn, tf, captioner, ssp_cfg, ssp_params, kcfg, kparams
+
+
+def test_full_eval_pipeline(world):
+    syn, tf, captioner, ssp_cfg, ssp_params, kcfg, kparams = world
+    _, _, test = syn.sample_splits
+
+    image_field = ImageDetectionsField(syn.store, max_detections=20)
+    det_field = COCOControlSetField_Verb(
+        syn.store, classes_path=syn.classes, img_shapes_path=syn.img_shapes,
+        precomp_glove_path=syn.vectors, verb_idx_path=syn.verb_2_idx,
+        idx_vs_path=syn.idx_2_vs_v, cap_classes_path=syn.cap_2_classes_v,
+        cap_verb_path=syn.cap_2_verb_v, vocab_path=tf.vocab.itos,
+        idx_2_verb_og_path=syn.idx_2_v_og, verb_vob_path={},
+        fix_length=10, max_detections=5)
+
+    ds = DictionaryDataset(test, {"image": image_field,
+                                  "detection": det_field,
+                                  "text": RawField()}, "image")
+    loader = DataLoader(ds, batch_size=4)
+    pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg,
+                        eos_word=tf.eos_idx, beam_size=3)
+
+    predictions, gt_captions = [], []
+    for keys, values in loader:
+        detections, img_ids = keys
+        det_per_job, jobs = [], []
+        for i in range(detections.shape[0]):
+            for out, cap in zip(values["detection"][i], values["text"][i]):
+                (word, vis, pos, vis_all, seq_v, seq_sr, cv, gt_v, gt_sr,
+                 idx, vl) = out
+                jobs.append(CaptionJob(
+                    seqs_vis=vis, seqs_txt=word, seqs_pos=pos,
+                    seqs_all=vis_all, control_verb=cv, det_seqs_v=seq_v,
+                    det_seqs_sr=seq_sr, verb_list=vl))
+                det_per_job.append(detections[i])
+                gt_captions.append(cap)
+        words = pipe.run_batch(np.stack(det_per_job), jobs)
+        predictions.extend(list(words))
+
+    assert len(predictions) == len(gt_captions) == 4
+    gen, gts = {}, {}
+    for i, (p, g) in enumerate(zip(predictions, gt_captions)):
+        gen[i] = [dedup_join(tf.decode(p, join_words=False))]
+        gts[i] = [g]
+    gts_t = ptb_tokenize(gts)
+    gen_t = ptb_tokenize(gen)
+    bleu, _ = Bleu(4).compute_score(gts_t, gen_t)
+    rouge, _ = Rouge().compute_score(gts_t, gen_t)
+    cider, _ = Cider().compute_score(gts_t, gen_t)
+    assert all(np.isfinite(b) for b in bleu)
+    assert np.isfinite(rouge) and np.isfinite(cider)
+
+
+def test_pipeline_with_shared_sr_regions(world):
+    """Two regions with the same SR -> Sinkhorn + Hungarian path exercised."""
+    syn, tf, captioner, ssp_cfg, ssp_params, kcfg, kparams = world
+    rng = np.random.RandomState(0)
+    L, M = 10, 5
+    job = CaptionJob(
+        seqs_vis=rng.rand(L, FEAT).astype(np.float32),
+        seqs_txt=rng.rand(L, 300).astype(np.float32),
+        seqs_pos=rng.rand(L, 4).astype(np.float32),
+        seqs_all=rng.rand(L, M, FEAT).astype(np.float32),
+        control_verb=np.array([3.0, 0, 0, 0, 0, 0, 0, 0]),
+        det_seqs_v=np.zeros((L, 8)),
+        det_seqs_sr=np.zeros((L, 8)),
+        verb_list=np.full((L, 1), -1.0))
+    # slots 0,1 share SR 2 under verb 3; slot 2 has SR 7
+    job.det_seqs_v[0, 0] = job.det_seqs_v[1, 0] = job.det_seqs_v[2, 0] = 3.0
+    job.det_seqs_sr[0, 0] = 2.0
+    job.det_seqs_sr[1, 0] = 2.0
+    job.det_seqs_sr[2, 0] = 7.0
+
+    kcfg_feat = SinkhornConfig()
+    pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg_feat,
+                        eos_word=tf.eos_idx, beam_size=2)
+    # sinkhorn input dim must be vis+txt+pos = FEAT+300+4; net expects 2352 —
+    # pad the visual features up to 2048
+    pad = 2048 - FEAT
+    job = CaptionJob(
+        seqs_vis=np.concatenate(
+            [job.seqs_vis, np.zeros((L, pad), np.float32)], -1),
+        seqs_txt=job.seqs_txt, seqs_pos=job.seqs_pos, seqs_all=job.seqs_all,
+        control_verb=job.control_verb, det_seqs_v=job.det_seqs_v,
+        det_seqs_sr=job.det_seqs_sr, verb_list=job.verb_list)
+    recons, vls = pipe.plan_batch([job])
+    # all three region groups must appear (permuted) in the recons
+    assert (np.sum(recons[0], (1, 2)) != 0).sum() == L  # tail filled w/ last
+    assert vls.shape == (1, L)

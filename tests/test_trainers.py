@@ -1,0 +1,121 @@
+"""Trainers: loss decreases on synthetic batches; SCST runs end-to-end."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vsrcic_tpu.models.captioner import CaptionerConfig, init_captioner_params
+from vsrcic_tpu.models.s_ssp import SSPConfig, init_ssp_params
+from vsrcic_tpu.models.sinkhorn import SinkhornConfig, init_sinkhorn_params
+from vsrcic_tpu.train import (
+    CaptionerSCSTTrainer, CaptionerXETrainer, SSPTrainer, SinkhornTrainer,
+    planner_lr, step_lr, sinkhorn_pairs_from_grids)
+from vsrcic_tpu.metrics import Cider
+from vsrcic_tpu.text import TextField
+
+V, D, E, R, A, T, B, M = 30, 16, 12, 10, 8, 8, 4, 3
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return CaptionerConfig(seq_len=T, vocab_size=V, bos_idx=2,
+                           det_feat_size=D, input_encoding_size=E,
+                           rnn_size=R, att_size=A)
+
+
+def make_xe_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    detections = rng.rand(B, 6, D).astype(np.float32)
+    captions = rng.randint(0, V, size=(B, T))
+    ctrl = rng.rand(B, T, M, D).astype(np.float32)
+    gates = rng.randint(0, 2, size=(B, T))
+    gates[:, -2:] = -1
+    return detections, captions, ctrl, gates
+
+
+def test_xe_loss_decreases(cfg):
+    params = init_captioner_params(jax.random.PRNGKey(0), cfg)
+    tr = CaptionerXETrainer(cfg, params, lr=1e-3)
+    batch = make_xe_batch()
+    losses = [tr.step(*batch)[0] for _ in range(8)]
+    assert losses[-1] < losses[0]
+
+
+def test_step_lr_schedule():
+    assert step_lr(1.0, 0) == 1.0
+    assert step_lr(1.0, 3) == pytest.approx(0.8)
+    assert planner_lr(1.0, 2) == 1.0
+    assert planner_lr(1.0, 3) == pytest.approx(0.6)
+    assert planner_lr(1.0, 6) == pytest.approx(0.36)
+
+
+def test_scst_step_runs(cfg):
+    params = init_captioner_params(jax.random.PRNGKey(1), cfg)
+    tf = TextField(fix_length=T)
+    caps = ["a b c d", "c d e f", "a c e g", "b d f h"]
+    tf.build_vocab(caps, min_freq=1)
+    cfg2 = CaptionerConfig(**{**cfg.__dict__, "vocab_size": len(tf.vocab),
+                              "bos_idx": tf.bos_idx})
+    params = init_captioner_params(jax.random.PRNGKey(1), cfg2)
+    cider = Cider(gts={i: [c] for i, c in enumerate(caps)})
+    tr = CaptionerSCSTTrainer(cfg2, params, tf, cider, lr=1e-4)
+    rng = np.random.RandomState(0)
+    detections = rng.rand(B, 6, D).astype(np.float32)
+    groups = rng.rand(B, 4, M, D).astype(np.float32)
+    loss, adv = tr.step(detections, groups, caps, jax.random.PRNGKey(0))
+    assert np.isfinite(loss)
+
+
+def test_ssp_trainer_decreases():
+    scfg = SSPConfig(hidden_size=32, embed_size=32)
+    params = init_ssp_params(jax.random.PRNGKey(0), scfg)
+    tr = SSPTrainer(scfg, params, lr=1e-3)
+    rng = np.random.RandomState(0)
+    verbs = rng.randint(1, 100, size=(6, 1))
+    det_sr = np.zeros((6, 10), np.int64)
+    det_sr[:, :3] = rng.randint(1, 26, size=(6, 3))
+    losses = [tr.step(verbs, det_sr, det_sr, jax.random.PRNGKey(i))
+              for i in range(6)]
+    assert losses[-1] < losses[0]
+
+
+def test_ssp_batch_from_grids():
+    cv = [[np.array([3.0, 0, 0, 0, 0, 0, 0, 0])]]
+    v = [[np.zeros((10, 8))]]
+    sr = [[np.zeros((10, 8))]]
+    v[0][0][0, 0] = 3.0
+    v[0][0][1, 0] = 3.0
+    sr[0][0][0, 0] = 1.0
+    sr[0][0][1, 0] = 2.0
+    batch = SSPTrainer.batch_from_grids(cv, v, sr, v, sr)
+    verbs, det, gt = batch
+    assert verbs.shape == (1, 1)
+    assert det[0][0] == 1.0 and det[0][1] == 2.0
+
+
+def test_sinkhorn_trainer():
+    kcfg = SinkhornConfig()
+    params = init_sinkhorn_params(jax.random.PRNGKey(0), kcfg)
+    tr = SinkhornTrainer(kcfg, params, lr=1e-3)
+    rng = np.random.RandomState(0)
+    # two slots share one SR -> one re-rank pair
+    cv = [[np.array([2.0, 0, 0, 0, 0, 0, 0, 0])]]
+    v = [[np.zeros((10, 8))]]
+    sr = [[np.zeros((10, 8))]]
+    v[0][0][0, 0] = 2.0
+    v[0][0][1, 0] = 2.0
+    sr[0][0][0, 0] = 5.0
+    sr[0][0][1, 0] = 5.0
+    il = [[np.array([[1.0], [0.0]] + [[-1.0]] * 8)]]
+    vis = [[rng.rand(10, 2048).astype(np.float32)]]
+    txt = [[rng.rand(10, 300).astype(np.float32)]]
+    pos = [[rng.rand(10, 4).astype(np.float32)]]
+    pairs = sinkhorn_pairs_from_grids(cv, v, sr, il, vis, txt, pos)
+    assert pairs is not None
+    inputs, tr_locs, gt_locs = pairs
+    assert inputs.shape == (1, 10, 2352)
+    assert tr_locs[0][0] == 0.0 and tr_locs[0][1] == 1.0
+    losses = [tr.step(inputs, tr_locs, gt_locs, n_images=1)
+              for _ in range(5)]
+    assert losses[-1] < losses[0]

@@ -1,0 +1,178 @@
+"""Full eval pipeline CLI — reference coco_scripts/eval_coco.py /
+flickr_scripts/eval_flickr.py equivalent: SSP composition + joint beam search
++ metric table.
+
+    python -m vsrcic_tpu.cli.eval --synthetic --limit 4
+    python -m vsrcic_tpu.cli.eval --det --gt ...
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from vsrcic_tpu.cli.common import (base_parser, build_coco_world,
+                                   force_platform, seed_all)
+
+
+def main(argv=None):
+    p = base_parser(batch_size=16)
+    p.add_argument("--sinkhorn_len", default=10, type=int)
+    p.add_argument("--fixed_len", default=10, type=int)
+    p.add_argument("--beam_size", default=5, type=int)
+    p.add_argument("--det", action="store_true",
+                   help="use detected regions")
+    p.add_argument("--gt", action="store_true", help="use gt verb")
+    p.add_argument("--limit", default=None, type=int,
+                   help="evaluate only the first N images")
+    p.add_argument("--captioner_ckpt", default=None, type=str)
+    p.add_argument("--ssp_ckpt", default=None, type=str)
+    p.add_argument("--sinkhorn_ckpt", default=None, type=str)
+    opt = p.parse_args(argv)
+    print(opt)
+    force_platform(opt.platform)
+    seed_all(opt.seed)
+
+    import jax
+    from vsrcic_tpu.core.checkpoint import restore_checkpoint
+    from vsrcic_tpu.data import (COCOControlSetField_Verb,
+                                 COCODetSetField_Verb, DataLoader,
+                                 DictionaryDataset, ImageDetectionsField,
+                                 RawField)
+    from vsrcic_tpu.metrics import (Bleu, Cider, ExternalMetricUnavailable,
+                                    Meteor, Rouge, Spice)
+    from vsrcic_tpu.models.api import ControllableCaptioner
+    from vsrcic_tpu.models.captioner import CaptionerConfig
+    from vsrcic_tpu.models.s_ssp import SSPConfig, init_ssp_params
+    from vsrcic_tpu.models.sinkhorn import (SinkhornConfig,
+                                            init_sinkhorn_params)
+    from vsrcic_tpu.pipelines import CaptionJob, EvalPipeline
+    from vsrcic_tpu.text import dedup_join, ptb_tokenize
+
+    world = build_coco_world(opt)
+    tf = world.text_field
+    _, _, test_ex = world.splits
+    if opt.limit:
+        seen, kept = set(), []
+        for e in test_ex:
+            seen.add(e.image)
+            if len(seen) > opt.limit:
+                break
+            kept.append(e)
+        test_ex = kept
+
+    image_field = ImageDetectionsField(world.store, max_detections=100)
+    if not opt.det:
+        det_field = COCOControlSetField_Verb(
+            world.store, classes_path=world.classes,
+            img_shapes_path=world.img_shapes,
+            precomp_glove_path=world.vectors,
+            verb_idx_path=world.verb_2_idx, idx_vs_path=world.idx_2_vs_v,
+            cap_classes_path=world.cap_2_classes_v,
+            cap_verb_path=world.cap_2_verb_v, vocab_path=world.vocab_tv,
+            idx_2_verb_og_path=world.idx_2_v_og, verb_vob_path={},
+            fix_length=opt.fixed_len, max_detections=20, gt_verb=opt.gt)
+    else:
+        det_field = COCODetSetField_Verb(
+            world.store, cls_seq_path=world.img_cap_v_2_class_self,
+            vocab_path=world.vocab_tv, vlem_2_v_og_path=world.vlem_2_vog,
+            verb_idx_path=world.verb_2_idx, classes_path=world.classes,
+            img_shapes_path=world.img_shapes,
+            precomp_glove_path=world.vectors,
+            fix_length=opt.fixed_len, max_detections=20, gt_verb=opt.gt)
+
+    ds = DictionaryDataset(test_ex, {"image": image_field,
+                                     "detection": det_field,
+                                     "text": RawField()}, "image")
+    loader = DataLoader(ds, batch_size=opt.batch_size)
+
+    # models
+    cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),
+                          bos_idx=tf.bos_idx, det_feat_size=opt.feat_dim)
+    cap_params = None
+    if opt.captioner_ckpt:
+        if opt.captioner_ckpt.endswith(".pth"):
+            from vsrcic_tpu.utils import import_torch_state_dict
+            cap_params = import_torch_state_dict(opt.captioner_ckpt)
+        else:
+            cap_params = restore_checkpoint(opt.captioner_ckpt)["params"]
+    captioner = ControllableCaptioner(cfg, params=cap_params,
+                                      key=jax.random.PRNGKey(opt.seed),
+                                      verb_2_vob_all=world.verb_2_vob_all)
+
+    ssp_cfg = SSPConfig(dataset=opt.dataset)
+    if opt.ssp_ckpt:
+        if opt.ssp_ckpt.endswith(".pth"):
+            from vsrcic_tpu.utils import import_torch_state_dict
+            ssp_params = import_torch_state_dict(opt.ssp_ckpt)
+        else:
+            ssp_params = restore_checkpoint(opt.ssp_ckpt)["params"]
+    else:
+        ssp_params = init_ssp_params(jax.random.PRNGKey(opt.seed + 1),
+                                     ssp_cfg)
+
+    kcfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1)
+    if opt.sinkhorn_ckpt:
+        if opt.sinkhorn_ckpt.endswith(".pth"):
+            from vsrcic_tpu.utils import import_torch_state_dict
+            kparams = import_torch_state_dict(opt.sinkhorn_ckpt)
+        else:
+            kparams = restore_checkpoint(opt.sinkhorn_ckpt)["params"]
+    else:
+        kparams = init_sinkhorn_params(jax.random.PRNGKey(opt.seed + 2), kcfg)
+
+    pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg,
+                        eos_word=tf.eos_idx, fixed_len=opt.fixed_len,
+                        sinkhorn_len=opt.sinkhorn_len,
+                        beam_size=opt.beam_size, gt=opt.gt)
+
+    predictions, gt_captions = [], []
+    t0 = time.time()
+    for keys, values in loader:
+        detections, img_ids = keys
+        det_per_job, jobs = [], []
+        for i in range(detections.shape[0]):
+            for out, cap in zip(values["detection"][i], values["text"][i]):
+                if not opt.det:
+                    (word, vis, pos, vis_all, seq_v, seq_sr, cv, _, _, _,
+                     vl) = out
+                else:
+                    (word, vis, pos, vis_all, seq_v, seq_sr, cv, _, vl) = out
+                jobs.append(CaptionJob(
+                    seqs_vis=vis, seqs_txt=word, seqs_pos=pos,
+                    seqs_all=vis_all, control_verb=cv, det_seqs_v=seq_v,
+                    det_seqs_sr=seq_sr, verb_list=vl))
+                det_per_job.append(detections[i])
+                gt_captions.append(cap)
+        words = pipe.run_batch(np.stack(det_per_job), jobs)
+        predictions.extend(list(words))
+    dt = time.time() - t0
+    print("decoded %d captions in %.2fs (%.1f captions/s)"
+          % (len(predictions), dt, len(predictions) / max(dt, 1e-9)))
+
+    gen, gts = {}, {}
+    for i, (pred, cap) in enumerate(zip(predictions, gt_captions)):
+        gen[i] = [dedup_join(tf.decode(pred, join_words=False))]
+        gts[i] = [cap]
+    gts_t = ptb_tokenize(gts)
+    gen_t = ptb_tokenize(gen)
+
+    val_bleu, _ = Bleu(4).compute_score(gts_t, gen_t)
+    for name, score in zip(["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"],
+                           val_bleu):
+        print(name, score)
+    val_rouge, _ = Rouge().compute_score(gts_t, gen_t)
+    print("ROUGE_L", val_rouge)
+    val_cider, _ = Cider().compute_score(gts_t, gen_t)
+    print("CIDEr", val_cider)
+    for name, metric in (("METEOR", Meteor()), ("SPICE", Spice())):
+        try:
+            score, _ = metric.compute_score(gts_t, gen_t)
+            print(name, score)
+        except ExternalMetricUnavailable as err:
+            print("%s unavailable: %s" % (name, err))
+    return val_cider
+
+
+if __name__ == "__main__":
+    main()

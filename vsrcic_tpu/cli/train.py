@@ -1,0 +1,149 @@
+"""Captioner training CLI (XE + SCST RL) — reference coco_scripts/train.py
+equivalent with matched flags, on the TPU-native trainers.
+
+    python -m vsrcic_tpu.cli.train --synthetic --batch_size 8 --max_steps 3
+    python -m vsrcic_tpu.cli.train --sample_rl ...
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from vsrcic_tpu.cli.common import (base_parser, build_coco_world,
+                                   force_platform, seed_all)
+
+
+def main(argv=None):
+    p = base_parser(batch_size=100)
+    p.add_argument("--lr", default=5e-4, type=float)
+    p.add_argument("--step_size", default=3, type=int)
+    p.add_argument("--gamma", default=0.8, type=float)
+    p.add_argument("--h2_first_lstm", default=1, type=int)
+    p.add_argument("--img_second_lstm", default=0, type=int)
+    p.add_argument("--sample_rl", action="store_true")
+    p.add_argument("--patience", default=5, type=int)
+    opt = p.parse_args(argv)
+    print(opt)
+    force_platform(opt.platform)
+    seed_all(opt.seed)
+
+    import jax
+    from vsrcic_tpu.core.checkpoint import CheckpointManager
+    from vsrcic_tpu.data import (COCOControlSequenceField, DataLoader,
+                                 ImageDetectionsField, PairedDataset,
+                                 RawField)
+    from vsrcic_tpu.metrics import Cider
+    from vsrcic_tpu.models.captioner import (CaptionerConfig,
+                                             init_captioner_params)
+    from vsrcic_tpu.text import dedup_join, ptb_tokenize
+    from vsrcic_tpu.train import (CaptionerSCSTTrainer, CaptionerXETrainer,
+                                  step_lr)
+    from vsrcic_tpu.decode.loops import greedy_decode
+    from vsrcic_tpu.models.captioner import precompute_statics
+
+    world = build_coco_world(opt)
+    tf = world.text_field
+    train_ex, val_ex, _ = world.splits
+
+    image_field = ImageDetectionsField(world.store, max_detections=100)
+    det_field = COCOControlSequenceField(
+        world.store, classes_path=world.classes, padding_idx=-1,
+        all_boxes=False, fix_length=20)
+
+    train_ds = PairedDataset(train_ex, {"image": image_field,
+                                        "detection": det_field,
+                                        "text": RawField()})
+    val_ds = PairedDataset(val_ex, {"image": image_field,
+                                    "detection": det_field,
+                                    "text": RawField()})
+    loader_train = DataLoader(train_ds, batch_size=opt.batch_size,
+                              shuffle=not opt.sample_rl, seed=opt.seed)
+    loader_val = DataLoader(val_ds, batch_size=min(16, opt.batch_size))
+
+    cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),
+                          bos_idx=tf.bos_idx,
+                          det_feat_size=opt.feat_dim,
+                          h2_first_lstm=bool(opt.h2_first_lstm),
+                          img_second_lstm=bool(opt.img_second_lstm))
+    params = init_captioner_params(jax.random.PRNGKey(opt.seed), cfg)
+
+    ckpt = CheckpointManager(opt.checkpoint_path + "/coco_cap",
+                             opt.exp_name + ("_rl" if opt.sample_rl else ""))
+    restored = ckpt.restore(best=opt.sample_rl) if (opt.sample_rl
+                                                    or opt.start_from) else None
+    if restored is not None:
+        params = restored["params"]
+        print("restored checkpoint (best_metric=%.3f)"
+              % ckpt.meta.get("best_metric", float("nan")))
+
+    if opt.sample_rl:
+        ref_caps = [e.text for e in train_ex]
+        cider_train = Cider(gts=ptb_tokenize(
+            {i: [c] for i, c in enumerate(ref_caps)}))
+        trainer = CaptionerSCSTTrainer(cfg, params, tf, cider_train,
+                                       lr=opt.lr)
+    else:
+        trainer = CaptionerXETrainer(cfg, params, lr=opt.lr)
+
+    cider_val = Cider()
+    step = 0
+    for e in range(opt.max_epochs):
+        if not opt.sample_rl:
+            trainer.set_lr(step_lr(opt.lr, e, opt.step_size, opt.gamma))
+        t0 = time.time()
+        running = 0.0
+        n_it = 0
+        for batch in loader_train:
+            (dets, _), det_out, caps = batch
+            det_seqs, gate_gts, det_seqs_test, _ = det_out
+            if opt.sample_rl:
+                loss, adv = trainer.step(dets, det_seqs_test, list(caps),
+                                         jax.random.PRNGKey(step))
+            else:
+                cap_ids = tf.process(list(caps))
+                loss, lc, lg = trainer.step(dets, cap_ids, det_seqs,
+                                            gate_gts)
+            running += loss
+            n_it += 1
+            step += 1
+            if opt.max_steps and step >= opt.max_steps:
+                break
+        print("epoch %d train loss %.4f (%.1fs)"
+              % (e, running / max(n_it, 1), time.time() - t0))
+
+        # validation CIDEr with greedy decode (ref train.py:185-219)
+        gen, gts = {}, {}
+        i = 0
+        for batch in loader_val:
+            (dets, _), det_out, caps = batch
+            _, _, det_seqs_test, _ = det_out
+            import jax.numpy as jnp
+            statics = precompute_statics(trainer.state.params, cfg,
+                                         jnp.asarray(dets),
+                                         jnp.asarray(det_seqs_test))
+            words, _ = jax.jit(
+                lambda s: greedy_decode(trainer.state.params, cfg, s)
+            )(statics)
+            for w, c in zip(np.asarray(words), caps):
+                gen[i] = [dedup_join(tf.decode(w, join_words=False))]
+                gts[i] = [c]
+                i += 1
+        val_cider, _ = cider_val.compute_score(ptb_tokenize(gts),
+                                               ptb_tokenize(gen))
+        print("epoch %d val CIDEr %.4f" % (e, val_cider))
+
+        stop = ckpt.step({"params": trainer.state.params,
+                          "step": np.asarray(step)},
+                         val_cider, e, patience_limit=opt.patience)
+        if stop:
+            print("patience ended.")
+            break
+        if opt.max_steps and step >= opt.max_steps:
+            break
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""S-level SSP training CLI — reference coco_scripts/train_region_sort.py /
+flickr_scripts/train_region_sort_flickr.py equivalent.
+
+    python -m vsrcic_tpu.cli.train_region_sort --synthetic --max_steps 3
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from vsrcic_tpu.cli.common import (base_parser, build_coco_world,
+                                   force_platform, seed_all)
+
+
+def main(argv=None):
+    p = base_parser(batch_size=20)
+    p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--learning_rate_decay_every", default=3, type=int)
+    p.add_argument("--learning_rate_decay_rate", default=0.6, type=float)
+    p.add_argument("--stop_epoch", default=20, type=int)
+    opt = p.parse_args(argv)
+    print(opt)
+    force_platform(opt.platform)
+    seed_all(opt.seed)
+
+    import jax
+    from vsrcic_tpu.core.checkpoint import save_checkpoint
+    from vsrcic_tpu.data import (COCOControlSetField_Verb, DataLoader,
+                                 DictionaryDataset, ImageDetectionsField,
+                                 RawField)
+    from vsrcic_tpu.models.s_ssp import SSPConfig, init_ssp_params
+    from vsrcic_tpu.train import SSPTrainer, planner_lr
+
+    world = build_coco_world(opt)
+    train_ex, _, _ = world.splits
+
+    image_field = ImageDetectionsField(world.store, max_detections=100)
+    det_field = COCOControlSetField_Verb(
+        world.store, classes_path=world.classes,
+        img_shapes_path=world.img_shapes,
+        precomp_glove_path=world.vectors, verb_idx_path=world.verb_2_idx,
+        idx_vs_path=world.idx_2_vs_v, cap_classes_path=world.cap_2_classes_v,
+        cap_verb_path=world.cap_2_verb_v, vocab_path=world.vocab_tv,
+        idx_2_verb_og_path=world.idx_2_v_og, verb_vob_path={},
+        fix_length=10, max_detections=20)
+
+    ds = DictionaryDataset(train_ex, {"image": image_field,
+                                      "detection": det_field,
+                                      "text": RawField()}, "image")
+    loader = DataLoader(ds, batch_size=opt.batch_size)
+
+    cfg = SSPConfig(dataset=opt.dataset)
+    params = init_ssp_params(jax.random.PRNGKey(opt.seed), cfg)
+    trainer = SSPTrainer(cfg, params, lr=opt.learning_rate)
+
+    step = 0
+    for e in range(opt.max_epochs):
+        if e == opt.stop_epoch:
+            break
+        trainer.set_lr(planner_lr(opt.learning_rate, e,
+                                  opt.learning_rate_decay_every,
+                                  opt.learning_rate_decay_rate))
+        running, n_it = 0.0, 0
+        t0 = time.time()
+        for keys, values in loader:
+            det_vals = values["detection"]
+            cv = [[o[6] for o in img] for img in det_vals]
+            sv = [[o[4] for o in img] for img in det_vals]
+            ssr = [[o[5] for o in img] for img in det_vals]
+            gv = [[o[7] for o in img] for img in det_vals]
+            gsr = [[o[8] for o in img] for img in det_vals]
+            batch = SSPTrainer.batch_from_grids(cv, sv, ssr, gv, gsr)
+            if batch is None:
+                continue
+            verbs, det_sr, gt_sr = batch
+            loss = trainer.step(verbs, det_sr, gt_sr,
+                                jax.random.PRNGKey(step))
+            running += loss
+            n_it += 1
+            step += 1
+            if opt.max_steps and step >= opt.max_steps:
+                break
+        print("epoch %d s-ssp loss %.4f (%.1fs)"
+              % (e, running / max(n_it, 1), time.time() - t0))
+        save_checkpoint(opt.checkpoint_path + "/%s_s_ssp/model-tr"
+                        % opt.dataset,
+                        {"params": trainer.state.params,
+                         "step": np.asarray(step), "epoch": np.asarray(e)})
+        if opt.max_steps and step >= opt.max_steps:
+            break
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

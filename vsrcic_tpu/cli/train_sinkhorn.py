@@ -1,0 +1,103 @@
+"""R-level Sinkhorn SSP training CLI — reference coco_scripts/train_sinkhorn.py
+/ flickr_scripts/train_sinkhorn_flickr.py equivalent.
+
+    python -m vsrcic_tpu.cli.train_sinkhorn --synthetic --max_steps 3
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from vsrcic_tpu.cli.common import (base_parser, build_coco_world,
+                                   force_platform, seed_all)
+
+
+def main(argv=None):
+    p = base_parser(batch_size=16)
+    p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--learning_rate_decay_every", default=3, type=int)
+    p.add_argument("--learning_rate_decay_rate", default=0.6, type=float)
+    p.add_argument("--stop_epoch", default=20, type=int)
+    p.add_argument("--sinkhorn_len", default=10, type=int)
+    opt = p.parse_args(argv)
+    print(opt)
+    force_platform(opt.platform)
+    seed_all(opt.seed)
+
+    import jax
+    from vsrcic_tpu.core.checkpoint import save_checkpoint
+    from vsrcic_tpu.data import (COCOControlSetField, DataLoader,
+                                 DictionaryDataset, ImageDetectionsField,
+                                 RawField)
+    from vsrcic_tpu.models.sinkhorn import (SinkhornConfig,
+                                            init_sinkhorn_params)
+    from vsrcic_tpu.train import (SinkhornTrainer, planner_lr,
+                                  sinkhorn_pairs_from_grids)
+
+    world = build_coco_world(opt)
+    train_ex, _, _ = world.splits
+
+    image_field = ImageDetectionsField(world.store, max_detections=100)
+    det_field = COCOControlSetField(
+        world.store, classes_path=world.classes,
+        img_shapes_path=world.img_shapes, precomp_glove_path=world.vectors,
+        verb_idx_path=world.verb_2_idx, idx_vs_path=world.idx_2_vs,
+        cap_classes_path=world.cap_2_classes, cap_verb_path=world.cap_2_verb,
+        fix_length=10, max_detections=20)
+
+    ds = DictionaryDataset(train_ex, {"image": image_field,
+                                      "detection": det_field,
+                                      "text": RawField()}, "image")
+    loader = DataLoader(ds, batch_size=opt.batch_size)
+
+    cfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1)
+    params = init_sinkhorn_params(jax.random.PRNGKey(opt.seed), cfg)
+    norm = "images" if opt.dataset == "coco" else "pairs"
+    trainer = SinkhornTrainer(cfg, params, lr=opt.learning_rate,
+                              loss_normalization=norm)
+
+    step = 0
+    for e in range(opt.max_epochs):
+        if e == opt.stop_epoch:
+            break
+        trainer.set_lr(planner_lr(opt.learning_rate, e,
+                                  opt.learning_rate_decay_every,
+                                  opt.learning_rate_decay_rate))
+        running, n_it = 0.0, 0
+        t0 = time.time()
+        for keys, values in loader:
+            det_vals = values["detection"]
+            n_images = len(det_vals)
+            txt = [[o[0] for o in img] for img in det_vals]
+            vis = [[o[1] for o in img] for img in det_vals]
+            pos = [[o[2] for o in img] for img in det_vals]
+            sv = [[o[4] for o in img] for img in det_vals]
+            ssr = [[o[5] for o in img] for img in det_vals]
+            cv = [[o[6] for o in img] for img in det_vals]
+            il = [[o[9] for o in img] for img in det_vals]
+            pairs = sinkhorn_pairs_from_grids(
+                cv, sv, ssr, il, vis, txt, pos,
+                sinkhorn_len=opt.sinkhorn_len)
+            if pairs is None:
+                continue
+            inputs, tr_locs, gt_locs = pairs
+            loss = trainer.step(inputs, tr_locs, gt_locs, n_images=n_images)
+            running += loss
+            n_it += 1
+            step += 1
+            if opt.max_steps and step >= opt.max_steps:
+                break
+        print("epoch %d sinkhorn loss %.4f (%.1fs)"
+              % (e, running / max(n_it, 1), time.time() - t0))
+        save_checkpoint(opt.checkpoint_path + "/%s_sinkhorn/model-sh"
+                        % opt.dataset,
+                        {"params": trainer.state.params,
+                         "step": np.asarray(step), "epoch": np.asarray(e)})
+        if opt.max_steps and step >= opt.max_steps:
+            break
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

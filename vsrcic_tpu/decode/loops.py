@@ -98,6 +98,39 @@ def greedy_decode(params, cfg: CaptionerConfig, statics: Statics,
     return jnp.moveaxis(words, 0, 1), jnp.moveaxis(gates, 0, 1)
 
 
+def forced_feedback_logprobs(params, cfg: CaptionerConfig, statics: Statics,
+                             words, gates):
+    """Differentiable logprobs of a given (word, gate) trajectory.
+
+    Re-runs the feedback decode feeding the *given* outputs back (the region
+    pointer advances by the given gates), returning per-step logprobs of those
+    outputs. This is how SCST gets gradients in JAX: sampling runs without
+    autodiff (sample_decode), rewards are computed on host, then this function
+    recomputes the trajectory's logprobs inside the grad transform —
+    numerically identical to the reference's stored `log_probs`
+    (ref CaptioningModel.sample_rl :54-76 keeps them in-graph).
+    """
+    b, t_len = words.shape
+
+    def body(carry, x):
+        state, prev_word, prev_gate, t = carry
+        word_t, gate_t = x
+        step = lambda t0: captioner_step(params, cfg, state, statics,
+                                         prev_word=prev_word,
+                                         prev_gate=prev_gate, t0=t0)
+        (w_logp, g_logp), new_state = jax.lax.cond(
+            t == 0, lambda _: step(True), lambda _: step(False), None)
+        w_lp = jnp.take_along_axis(w_logp, word_t[:, None], 1)[:, 0]
+        g_lp = jnp.take_along_axis(g_logp, gate_t[:, None], 1)[:, 0]
+        return (new_state, word_t, gate_t, t + 1), (w_lp, g_lp)
+
+    xs = (jnp.moveaxis(words, 0, 1), jnp.moveaxis(gates, 0, 1))
+    init = (init_state(cfg, b), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32), jnp.int32(0))
+    _, (w_lps, g_lps) = jax.lax.scan(body, init, xs)
+    return jnp.moveaxis(w_lps, 0, 1), jnp.moveaxis(g_lps, 0, 1)
+
+
 def sample_decode(params, cfg: CaptionerConfig, statics: Statics, key,
                   seq_len: Optional[int] = None):
     """Ancestral sampling with per-step logprobs (ref sample_rl :54-76).

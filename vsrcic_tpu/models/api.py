@@ -1,0 +1,126 @@
+"""High-level model facades mirroring the reference's public API.
+
+`ControllableCaptioner` exposes forward/test/sample_rl/beam_search_v like the
+reference ControllableCaptioningModel, backed by the jitted scan loops in
+`vsrcic_tpu.decode`. Jitted callables are constructed once; XLA's trace cache
+handles shape variants.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsrcic_tpu.core import nn
+from vsrcic_tpu.decode.beam import BeamResult, beam_search_joint
+from vsrcic_tpu.decode.loops import (
+    forward_teacher_forcing, greedy_decode, sample_decode)
+from vsrcic_tpu.models.captioner import (
+    CaptionerConfig, VerbTenseTable, captioner_step, captioner_step_v,
+    init_captioner_params, init_state, precompute_statics)
+
+
+def build_verb_tense_table(verb_2_vob_all: Dict[str, list],
+                           n_verbs: Optional[int] = None) -> VerbTenseTable:
+    """{str(verb_code): [vocab ids]} (verb_2_vob_all_refine.json schema,
+    ref controllable_captioning.py:26) -> dense (n_verbs+1, K) id table."""
+    keys = [int(k) for k in verb_2_vob_all.keys()]
+    n = max(keys + [n_verbs or 0]) + 1 if keys else (n_verbs or 1) + 1
+    k_max = max([len(v) for v in verb_2_vob_all.values()] + [1])
+    ids = np.full((n, k_max), -1, np.int32)
+    for k, v in verb_2_vob_all.items():
+        ids[int(k), :len(v)] = v
+    return VerbTenseTable(jnp.asarray(ids))
+
+
+class ControllableCaptioner:
+    def __init__(self, cfg: CaptionerConfig, params=None, key=None,
+                 verb_2_vob_all: Optional[Dict] = None):
+        self.cfg = cfg
+        if params is None:
+            params = init_captioner_params(
+                key if key is not None else jax.random.PRNGKey(1234), cfg)
+        self.params = params
+        self.tense_table = (build_verb_tense_table(verb_2_vob_all)
+                            if verb_2_vob_all is not None else None)
+
+        self._forward = jax.jit(partial(forward_teacher_forcing, cfg=cfg))
+        self._greedy = jax.jit(self._greedy_impl)
+        self._sample = jax.jit(self._sample_impl)
+        self._beam_v = jax.jit(self._beam_v_impl,
+                               static_argnames=("beam_size", "eos_word", "gt"))
+        self._beam = jax.jit(self._beam_impl,
+                             static_argnames=("beam_size", "eos_word"))
+
+    # -- impls ---------------------------------------------------------------
+    def _greedy_impl(self, params, detections, det_groups):
+        statics = precompute_statics(params, self.cfg, detections, det_groups)
+        return greedy_decode(params, self.cfg, statics)
+
+    def _sample_impl(self, params, detections, det_groups, rng):
+        statics = precompute_statics(params, self.cfg, detections, det_groups)
+        return sample_decode(params, self.cfg, statics, rng)
+
+    def _expand(self, a, k):
+        return jnp.repeat(a, k, axis=0)
+
+    def _beam_v_impl(self, params, detections, det_groups, verb_list,
+                     beam_size, eos_word, gt):
+        b = detections.shape[0]
+        statics = precompute_statics(
+            params, self.cfg, self._expand(detections, beam_size),
+            self._expand(det_groups, beam_size),
+            verb_list=self._expand(verb_list, beam_size))
+
+        def step_fn(state, pw, pg, t0):
+            return captioner_step_v(params, self.cfg, state, statics,
+                                    self.tense_table, prev_word=pw,
+                                    prev_gate=pg, t0=t0, gt=gt)
+
+        return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
+                                 b, beam_size, self.cfg.seq_len,
+                                 eos_word=eos_word)
+
+    def _beam_impl(self, params, detections, det_groups, beam_size, eos_word):
+        b = detections.shape[0]
+        statics = precompute_statics(
+            params, self.cfg, self._expand(detections, beam_size),
+            self._expand(det_groups, beam_size))
+
+        def step_fn(state, pw, pg, t0):
+            return captioner_step(params, self.cfg, state, statics,
+                                  prev_word=pw, prev_gate=pg, t0=t0)
+
+        return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
+                                 b, beam_size, self.cfg.seq_len,
+                                 eos_word=eos_word)
+
+    # -- public API (reference parity) ---------------------------------------
+    def forward(self, detections, captions, ctrl_det_seqs):
+        return self._forward(self.params, detections=jnp.asarray(detections),
+                             captions=jnp.asarray(captions),
+                             ctrl_det_seqs=jnp.asarray(ctrl_det_seqs))
+
+    def test(self, detections, ctrl_det_seqs_test):
+        return self._greedy(self.params, jnp.asarray(detections),
+                            jnp.asarray(ctrl_det_seqs_test))
+
+    def sample_rl(self, detections, ctrl_det_seqs_test, rng):
+        return self._sample(self.params, jnp.asarray(detections),
+                            jnp.asarray(ctrl_det_seqs_test), rng)
+
+    def beam_search_v(self, detections, det_groups, verb_list, eos_word,
+                      beam_size=5, gt=False) -> BeamResult:
+        return self._beam_v(self.params, jnp.asarray(detections),
+                            jnp.asarray(det_groups),
+                            jnp.asarray(verb_list).astype(jnp.int32),
+                            beam_size=beam_size, eos_word=eos_word, gt=gt)
+
+    def beam_search(self, detections, det_groups, eos_word,
+                    beam_size=5) -> BeamResult:
+        return self._beam(self.params, jnp.asarray(detections),
+                          jnp.asarray(det_groups), beam_size=beam_size,
+                          eos_word=eos_word)

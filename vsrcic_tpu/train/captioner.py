@@ -1,0 +1,156 @@
+"""Captioner trainers: XE and SCST CIDEr RL.
+
+XE (ref coco_scripts/train.py:92-120): NLL(word) + 4*NLL(gate, ignore -1),
+Adam + StepLR(3, 0.8), per-epoch val CIDEr best-checkpoint selection with
+patience 5.
+
+SCST (ref train.py:121-183): the reference round-trips
+GPU->CPU->Java->CPU->GPU every step for tokenization + CIDEr (SURVEY.md §3.2).
+Here: sampling and the greedy baseline run as jitted device decodes, rewards
+use the native tokenizer+CIDEr on host (microseconds/caption), and the grad
+step recomputes trajectory logprobs in-graph (decode.forced_feedback_logprobs)
+— loss = -(mean word logp + mean gate logp) * (CIDEr(sample)-CIDEr(greedy)).
+
+Both train steps are jitted with `data`-axis batch sharding when a mesh is
+provided (GSPMD inserts the gradient psum).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsrcic_tpu.decode.loops import (
+    forced_feedback_logprobs, forward_teacher_forcing, greedy_decode,
+    sample_decode)
+from vsrcic_tpu.models.captioner import CaptionerConfig, precompute_statics
+from vsrcic_tpu.train.common import (
+    TrainState, adam, apply_grads, init_train_state, nll_loss,
+    set_learning_rate)
+from vsrcic_tpu.metrics.cider import Cider
+from vsrcic_tpu.text.vocab import TextField, dedup_join
+from vsrcic_tpu.text.tokenizer import ptb_tokenize
+
+
+def xe_loss_fn(params, cfg: CaptionerConfig, detections, captions,
+               ctrl_det_seqs, gate_targets):
+    """ref train.py:103-110 (word loss shifted; gate loss unshifted,
+    weighted 4x, padding ignored via index -1)."""
+    word_logp, gate_logp = forward_teacher_forcing(
+        params, cfg, detections, captions, ctrl_det_seqs)
+    loss_cap = nll_loss(word_logp[:, :-1], captions[:, 1:])
+    loss_gate = nll_loss(gate_logp, gate_targets, ignore_index=-1)
+    return loss_cap + 4.0 * loss_gate, (loss_cap, loss_gate)
+
+
+class CaptionerXETrainer:
+    def __init__(self, cfg: CaptionerConfig, params, lr: float = 5e-4,
+                 mesh=None):
+        self.cfg = cfg
+        self.tx = adam(lr)
+        self.state = init_train_state(params, self.tx)
+        self.mesh = mesh
+
+        def train_step(state: TrainState, detections, captions,
+                       ctrl_det_seqs, gate_targets):
+            (loss, (lc, lg)), grads = jax.value_and_grad(
+                xe_loss_fn, has_aux=True)(
+                state.params, cfg, detections, captions, ctrl_det_seqs,
+                gate_targets)
+            state = apply_grads(self.tx, state, grads)
+            return state, loss, lc, lg
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(rep, data, data, data, data),
+                out_shardings=(rep, rep, rep, rep))
+        else:
+            self._train_step = jax.jit(train_step)
+
+    def set_lr(self, lr: float):
+        self.state = TrainState(self.state.params,
+                                set_learning_rate(self.state.opt_state, lr),
+                                self.state.step)
+
+    def step(self, detections, captions, ctrl_det_seqs, gate_targets):
+        self.state, loss, lc, lg = self._train_step(
+            self.state, jnp.asarray(detections),
+            jnp.asarray(captions).astype(jnp.int32),
+            jnp.asarray(ctrl_det_seqs),
+            jnp.asarray(gate_targets).astype(jnp.int32))
+        return float(loss), float(lc), float(lg)
+
+
+def scst_loss_fn(params, cfg: CaptionerConfig, detections, det_groups,
+                 words, gates, advantage):
+    statics = precompute_statics(params, cfg, detections, det_groups)
+    w_lps, g_lps = forced_feedback_logprobs(params, cfg, statics, words,
+                                            gates)
+    per_seq = -(jnp.mean(w_lps, -1) + jnp.mean(g_lps, -1)) * advantage
+    return jnp.mean(per_seq)
+
+
+class CaptionerSCSTTrainer:
+    """Self-critical sequence training with native in-step CIDEr reward."""
+
+    def __init__(self, cfg: CaptionerConfig, params, text_field: TextField,
+                 cider: Cider, lr: float = 5e-4, mesh=None):
+        self.cfg = cfg
+        self.text_field = text_field
+        self.cider = cider
+        self.tx = adam(lr)
+        self.state = init_train_state(params, self.tx)
+
+        def sample_step(params, detections, det_groups, rng):
+            statics = precompute_statics(params, cfg, detections, det_groups)
+            return sample_decode(params, cfg, statics, rng)
+
+        def greedy_step(params, detections, det_groups):
+            statics = precompute_statics(params, cfg, detections, det_groups)
+            return greedy_decode(params, cfg, statics)
+
+        def grad_step(state: TrainState, detections, det_groups, words,
+                      gates, advantage):
+            loss, grads = jax.value_and_grad(scst_loss_fn)(
+                state.params, cfg, detections, det_groups, words, gates,
+                advantage)
+            return apply_grads(self.tx, state, grads), loss
+
+        self._sample = jax.jit(sample_step)
+        self._greedy = jax.jit(greedy_step)
+        self._grad = jax.jit(grad_step)
+
+    def _decode_caps(self, words) -> List[str]:
+        caps = self.text_field.decode(np.asarray(words), join_words=False)
+        return [dedup_join(c) for c in caps]
+
+    def rewards(self, sampled_caps: List[str], baseline_caps: List[str],
+                gt_caps: List[str]) -> np.ndarray:
+        gts = ptb_tokenize({i: [g] for i, g in enumerate(gt_caps)})
+        gen = ptb_tokenize({i: [c] for i, c in enumerate(sampled_caps)})
+        base = ptb_tokenize({i: [c] for i, c in enumerate(baseline_caps)})
+        _, r = self.cider.compute_score(gts, gen)
+        _, rb = self.cider.compute_score(gts, base)
+        return (r - rb).astype(np.float32)
+
+    def step(self, detections, det_groups, gt_caps: List[str], rng
+             ) -> Tuple[float, float]:
+        detections = jnp.asarray(detections)
+        det_groups = jnp.asarray(det_groups)
+        (words, gates), _ = self._sample(self.state.params, detections,
+                                         det_groups, rng)
+        base_words, _ = self._greedy(self.state.params, detections,
+                                     det_groups)
+        sampled = self._decode_caps(words)
+        baseline = self._decode_caps(base_words)
+        adv = self.rewards(sampled, baseline, gt_caps)
+        self.state, loss = self._grad(self.state, detections, det_groups,
+                                      words, gates, jnp.asarray(adv))
+        return float(loss), float(np.mean(adv))
