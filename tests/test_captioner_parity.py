@@ -94,15 +94,14 @@ def test_greedy_matches(ref_model, cfg, params):
 def _jax_beam_v(params, cfg, detections, groups, verb_list, tense_table,
                 beam, gt=False):
     b = detections.shape[0]
-    expand = lambda a: jnp.repeat(a, beam, axis=0)
     statics = precompute_statics(
-        params, cfg, expand(jnp.asarray(detections)),
-        expand(jnp.asarray(groups)), verb_list=expand(jnp.asarray(verb_list)))
+        params, cfg, jnp.asarray(detections), jnp.asarray(groups),
+        verb_list=jnp.asarray(verb_list))
 
     def step_fn(state, prev_word, prev_gate, t0):
         return captioner_step_v(params, cfg, state, statics, tense_table,
                                 prev_word=prev_word, prev_gate=prev_gate,
-                                t0=t0, gt=gt)
+                                t0=t0, gt=gt, beam=beam)
 
     return beam_search_joint(step_fn, init_state(cfg, b * beam), b, beam,
                              cfg.seq_len, eos_word=EOS, eos_gate=-1)

@@ -77,6 +77,93 @@ class COCOWorld:
     text_field: Any = None
 
 
+@dataclass
+class FlickrWorld:
+    store: Any
+    classes: Any
+    img_shapes: Any
+    vectors: Any
+    flickr_verb_idx: Any
+    idx_2_vs: Any
+    cap_2_verb: Any
+    cap_2_classes: Any
+    idx_2_v_og: Any
+    vocab_tv: Any
+    verb_2_vob_all: Any
+    img_cap_v_2_idbox: Any
+    vlem_2_vog: Any
+    splits: Any
+    text_field: Any = None
+
+
+def build_flickr_world(opt) -> FlickrWorld:
+    from vsrcic_tpu.text import TextField
+
+    if opt.synthetic:
+        from vsrcic_tpu.data.synthetic_flickr import SyntheticFlickr
+        syn = SyntheticFlickr(n_images=opt.synthetic_images,
+                              n_val=max(2, opt.synthetic_images // 8),
+                              n_test=max(2, opt.synthetic_images // 8),
+                              feat_dim=opt.feat_dim, seed=opt.seed)
+        tf = TextField(fix_length=20)
+        train, val, test = syn.sample_splits
+        tf.build_vocab([e.text for e in train + val], min_freq=1)
+        return FlickrWorld(
+            store=syn.store, classes=syn.classes, img_shapes=syn.img_shapes,
+            vectors=syn.vectors, flickr_verb_idx=syn.flickr_verb_idx,
+            idx_2_vs=syn.idx_2_vs, cap_2_verb=syn.cap_2_verb,
+            cap_2_classes=syn.cap_2_classes, idx_2_v_og=syn.idx_2_v_og,
+            vocab_tv=list(tf.vocab.itos),
+            verb_2_vob_all=syn.verb_2_vob_all(tf),
+            img_cap_v_2_idbox=syn.img_cap_v_2_idbox,
+            vlem_2_vog=syn.vlem_2_vog,
+            splits=syn.sample_splits, text_field=tf)
+
+    import json
+    from vsrcic_tpu.data import HDF5FeatureStore
+    from vsrcic_tpu.data.dataset import FlickrEntities
+    from vsrcic_tpu.data.fields import RawField
+
+    root = opt.flickr_root
+
+    def j(name):
+        with open(os.path.join(root, name)) as f:
+            return json.load(f)
+
+    store = HDF5FeatureStore(os.path.join(root, "flickr30k_detections.hdf5"))
+    tf = TextField(fix_length=20)
+    dataset = FlickrEntities(
+        RawField(), RawField(), RawField(), img_root="",
+        ann_file=os.path.join(root, "flickr30k_annotations.json"),
+        entities_root=os.path.join(root, "Flickr30kEntities"))
+    train, val, test = (dataset.train_examples, dataset.val_examples,
+                        dataset.test_examples)
+    tf.build_vocab([e.text for e in train + val], min_freq=5)
+    return FlickrWorld(
+        store=store,
+        classes=os.path.join(root, "object_class_list.txt"),
+        img_shapes=j("flickr_img_shapes.json"),
+        vectors=os.path.join(root, "object_class_glove.pkl"),
+        flickr_verb_idx=j("flickr_verb_idx.json"),
+        idx_2_vs=j("idx_2_vs_flickr.json"),
+        cap_2_verb=j("cap_2_verb_flickr.json"),
+        cap_2_classes=j("cap_2_classes_flickr.json"),
+        idx_2_v_og=j("idx_2_v_og_flickr.json"),
+        vocab_tv=j("vocab_tv_flickr.json"),
+        verb_2_vob_all=j("verb_2_vob_all_refine_flickr.json"),
+        img_cap_v_2_idbox=j("../saved_data/flickr/img_cap_v_2_idbox_flickr.json")
+        if os.path.isfile(os.path.join(
+            root, "../saved_data/flickr/img_cap_v_2_idbox_flickr.json"))
+        else {},
+        vlem_2_vog=j("vlem_2_vog_flickr.json"),
+        splits=(train, val, test), text_field=tf)
+
+
+def build_world(opt):
+    return (build_flickr_world(opt) if opt.dataset == "flickr"
+            else build_coco_world(opt))
+
+
 def build_coco_world(opt) -> COCOWorld:
     from vsrcic_tpu.text import TextField
 

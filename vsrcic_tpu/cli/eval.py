@@ -11,8 +11,10 @@ import time
 
 import numpy as np
 
-from vsrcic_tpu.cli.common import (base_parser, build_coco_world,
-                                   force_platform, seed_all)
+from vsrcic_tpu.cli.common import (base_parser, build_world, force_platform,
+                                   seed_all)
+from vsrcic_tpu.cli.fields import (make_eval_det_field, make_image_field,
+                                   unpack_eval_output)
 
 
 def main(argv=None):
@@ -35,10 +37,7 @@ def main(argv=None):
 
     import jax
     from vsrcic_tpu.core.checkpoint import restore_checkpoint
-    from vsrcic_tpu.data import (COCOControlSetField_Verb,
-                                 COCODetSetField_Verb, DataLoader,
-                                 DictionaryDataset, ImageDetectionsField,
-                                 RawField)
+    from vsrcic_tpu.data import DataLoader, DictionaryDataset, RawField
     from vsrcic_tpu.metrics import (Bleu, Cider, ExternalMetricUnavailable,
                                     Meteor, Rouge, Spice)
     from vsrcic_tpu.models.api import ControllableCaptioner
@@ -49,7 +48,7 @@ def main(argv=None):
     from vsrcic_tpu.pipelines import CaptionJob, EvalPipeline
     from vsrcic_tpu.text import dedup_join, ptb_tokenize
 
-    world = build_coco_world(opt)
+    world = build_world(opt)
     tf = world.text_field
     _, _, test_ex = world.splits
     if opt.limit:
@@ -61,25 +60,8 @@ def main(argv=None):
             kept.append(e)
         test_ex = kept
 
-    image_field = ImageDetectionsField(world.store, max_detections=100)
-    if not opt.det:
-        det_field = COCOControlSetField_Verb(
-            world.store, classes_path=world.classes,
-            img_shapes_path=world.img_shapes,
-            precomp_glove_path=world.vectors,
-            verb_idx_path=world.verb_2_idx, idx_vs_path=world.idx_2_vs_v,
-            cap_classes_path=world.cap_2_classes_v,
-            cap_verb_path=world.cap_2_verb_v, vocab_path=world.vocab_tv,
-            idx_2_verb_og_path=world.idx_2_v_og, verb_vob_path={},
-            fix_length=opt.fixed_len, max_detections=20, gt_verb=opt.gt)
-    else:
-        det_field = COCODetSetField_Verb(
-            world.store, cls_seq_path=world.img_cap_v_2_class_self,
-            vocab_path=world.vocab_tv, vlem_2_v_og_path=world.vlem_2_vog,
-            verb_idx_path=world.verb_2_idx, classes_path=world.classes,
-            img_shapes_path=world.img_shapes,
-            precomp_glove_path=world.vectors,
-            fix_length=opt.fixed_len, max_detections=20, gt_verb=opt.gt)
+    image_field = make_image_field(world, opt)
+    det_field = make_eval_det_field(world, opt)
 
     ds = DictionaryDataset(test_ex, {"image": image_field,
                                      "detection": det_field,
@@ -133,11 +115,8 @@ def main(argv=None):
         det_per_job, jobs = [], []
         for i in range(detections.shape[0]):
             for out, cap in zip(values["detection"][i], values["text"][i]):
-                if not opt.det:
-                    (word, vis, pos, vis_all, seq_v, seq_sr, cv, _, _, _,
-                     vl) = out
-                else:
-                    (word, vis, pos, vis_all, seq_v, seq_sr, cv, _, vl) = out
+                (word, vis, pos, vis_all, seq_v, seq_sr, cv,
+                 vl) = unpack_eval_output(out, opt.dataset, opt.det)
                 jobs.append(CaptionJob(
                     seqs_vis=vis, seqs_txt=word, seqs_pos=pos,
                     seqs_all=vis_all, control_verb=cv, det_seqs_v=seq_v,

@@ -9,8 +9,9 @@ import time
 
 import numpy as np
 
-from vsrcic_tpu.cli.common import (base_parser, build_coco_world,
-                                   force_platform, seed_all)
+from vsrcic_tpu.cli.common import (base_parser, build_world, force_platform,
+                                   seed_all)
+from vsrcic_tpu.cli.fields import make_image_field, make_ssp_det_field
 
 
 def main(argv=None):
@@ -26,24 +27,15 @@ def main(argv=None):
 
     import jax
     from vsrcic_tpu.core.checkpoint import save_checkpoint
-    from vsrcic_tpu.data import (COCOControlSetField_Verb, DataLoader,
-                                 DictionaryDataset, ImageDetectionsField,
-                                 RawField)
+    from vsrcic_tpu.data import DataLoader, DictionaryDataset, RawField
     from vsrcic_tpu.models.s_ssp import SSPConfig, init_ssp_params
     from vsrcic_tpu.train import SSPTrainer, planner_lr
 
-    world = build_coco_world(opt)
+    world = build_world(opt)
     train_ex, _, _ = world.splits
 
-    image_field = ImageDetectionsField(world.store, max_detections=100)
-    det_field = COCOControlSetField_Verb(
-        world.store, classes_path=world.classes,
-        img_shapes_path=world.img_shapes,
-        precomp_glove_path=world.vectors, verb_idx_path=world.verb_2_idx,
-        idx_vs_path=world.idx_2_vs_v, cap_classes_path=world.cap_2_classes_v,
-        cap_verb_path=world.cap_2_verb_v, vocab_path=world.vocab_tv,
-        idx_2_verb_og_path=world.idx_2_v_og, verb_vob_path={},
-        fix_length=10, max_detections=20)
+    image_field = make_image_field(world, opt)
+    det_field = make_ssp_det_field(world, opt, fix_length=10)
 
     ds = DictionaryDataset(train_ex, {"image": image_field,
                                       "detection": det_field,
@@ -65,11 +57,15 @@ def main(argv=None):
         t0 = time.time()
         for keys, values in loader:
             det_vals = values["detection"]
-            cv = [[o[6] for o in img] for img in det_vals]
-            sv = [[o[4] for o in img] for img in det_vals]
-            ssr = [[o[5] for o in img] for img in det_vals]
-            gv = [[o[7] for o in img] for img in det_vals]
-            gsr = [[o[8] for o in img] for img in det_vals]
+            if opt.dataset == "flickr":   # visual=False: 7 outputs
+                idx = {"v": 0, "sr": 1, "cv": 2, "gv": 3, "gsr": 4}
+            else:                          # 11 outputs
+                idx = {"v": 4, "sr": 5, "cv": 6, "gv": 7, "gsr": 8}
+            cv = [[o[idx["cv"]] for o in img] for img in det_vals]
+            sv = [[o[idx["v"]] for o in img] for img in det_vals]
+            ssr = [[o[idx["sr"]] for o in img] for img in det_vals]
+            gv = [[o[idx["gv"]] for o in img] for img in det_vals]
+            gsr = [[o[idx["gsr"]] for o in img] for img in det_vals]
             batch = SSPTrainer.batch_from_grids(cv, sv, ssr, gv, gsr)
             if batch is None:
                 continue

@@ -9,8 +9,9 @@ import time
 
 import numpy as np
 
-from vsrcic_tpu.cli.common import (base_parser, build_coco_world,
-                                   force_platform, seed_all)
+from vsrcic_tpu.cli.common import (base_parser, build_world, force_platform,
+                                   seed_all)
+from vsrcic_tpu.cli.fields import make_image_field, make_sinkhorn_det_field
 
 
 def main(argv=None):
@@ -27,24 +28,17 @@ def main(argv=None):
 
     import jax
     from vsrcic_tpu.core.checkpoint import save_checkpoint
-    from vsrcic_tpu.data import (COCOControlSetField, DataLoader,
-                                 DictionaryDataset, ImageDetectionsField,
-                                 RawField)
+    from vsrcic_tpu.data import DataLoader, DictionaryDataset, RawField
     from vsrcic_tpu.models.sinkhorn import (SinkhornConfig,
                                             init_sinkhorn_params)
     from vsrcic_tpu.train import (SinkhornTrainer, planner_lr,
                                   sinkhorn_pairs_from_grids)
 
-    world = build_coco_world(opt)
+    world = build_world(opt)
     train_ex, _, _ = world.splits
 
-    image_field = ImageDetectionsField(world.store, max_detections=100)
-    det_field = COCOControlSetField(
-        world.store, classes_path=world.classes,
-        img_shapes_path=world.img_shapes, precomp_glove_path=world.vectors,
-        verb_idx_path=world.verb_2_idx, idx_vs_path=world.idx_2_vs,
-        cap_classes_path=world.cap_2_classes, cap_verb_path=world.cap_2_verb,
-        fix_length=10, max_detections=20)
+    image_field = make_image_field(world, opt)
+    det_field = make_sinkhorn_det_field(world, opt, fix_length=10)
 
     ds = DictionaryDataset(train_ex, {"image": image_field,
                                       "detection": det_field,

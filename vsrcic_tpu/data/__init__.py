@@ -11,3 +11,7 @@ from vsrcic_tpu.data.dataset import (  # noqa: F401
     Example, PairedDataset, DictionaryDataset, DataLoader, COCOEntities,
     FlickrEntities)
 from vsrcic_tpu.data.synthetic import SyntheticCOCO  # noqa: F401
+from vsrcic_tpu.data.gsrl import (  # noqa: F401
+    NEWDataset, Dataset_Flickr, collater_new, collater_flickr)
+from vsrcic_tpu.data.loader import PrefetchLoader, DevicePrefetchLoader  # noqa: F401
+from vsrcic_tpu.data.synthetic_flickr import SyntheticFlickr  # noqa: F401

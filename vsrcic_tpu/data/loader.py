@@ -1,0 +1,65 @@
+"""Host prefetch pipeline.
+
+The reference relies on torch DataLoader worker processes doing per-item HDF5
+opens (SURVEY.md §2.4); here a thread-pool prefetcher overlaps field
+preprocessing + batch collation with device compute and keeps a bounded queue
+of ready batches. Threads (not processes) because the packed memmap store
+reads release the GIL in numpy and the preprocessing is numpy-bound; the
+native C++ reader (native/) plugs in underneath the same API.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+from vsrcic_tpu.data.dataset import DataLoader
+
+
+class PrefetchLoader:
+    """Wraps any iterable loader with background prefetch of `depth` batches."""
+
+    def __init__(self, loader: Iterable, depth: int = 2,
+                 num_threads: int = 1):
+        self.loader = loader
+        self.depth = depth
+        self.num_threads = num_threads
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator[Any]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        error: list = []
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # surfaced to the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+class DevicePrefetchLoader(PrefetchLoader):
+    """Prefetch + asynchronous host->device transfer of each batch."""
+
+    def __init__(self, loader, put_fn: Callable[[Any], Any], depth: int = 2):
+        super().__init__(loader, depth=depth)
+        self.put_fn = put_fn
+
+    def __iter__(self):
+        for batch in super().__iter__():
+            yield self.put_fn(batch)

@@ -38,12 +38,21 @@ def build_verb_tense_table(verb_2_vob_all: Dict[str, list],
 
 class ControllableCaptioner:
     def __init__(self, cfg: CaptionerConfig, params=None, key=None,
-                 verb_2_vob_all: Optional[Dict] = None):
+                 verb_2_vob_all: Optional[Dict] = None,
+                 decode_dtype=None):
+        """decode_dtype: compute dtype for the decode fast paths (e.g.
+        jnp.bfloat16 for TPU serving — matmuls run on the MXU in bf16 while
+        logits/scores/softmaxes stay fp32, see models.captioner._step_core).
+        None keeps full fp32 (parity mode)."""
         self.cfg = cfg
         if params is None:
             params = init_captioner_params(
                 key if key is not None else jax.random.PRNGKey(1234), cfg)
         self.params = params
+        self.decode_dtype = decode_dtype
+        self.decode_params = (
+            jax.tree.map(lambda x: x.astype(decode_dtype), params)
+            if decode_dtype is not None else params)
         self.tense_table = (build_verb_tense_table(verb_2_vob_all)
                             if verb_2_vob_all is not None else None)
 
@@ -67,18 +76,24 @@ class ControllableCaptioner:
     def _expand(self, a, k):
         return jnp.repeat(a, k, axis=0)
 
+    def _cast(self, a):
+        return (a.astype(self.decode_dtype)
+                if self.decode_dtype is not None and
+                jnp.issubdtype(a.dtype, jnp.floating) else a)
+
     def _beam_v_impl(self, params, detections, det_groups, verb_list,
                      beam_size, eos_word, gt):
+        # statics stay UNEXPANDED (per item); the steps gather per beam row
         b = detections.shape[0]
         statics = precompute_statics(
-            params, self.cfg, self._expand(detections, beam_size),
-            self._expand(det_groups, beam_size),
-            verb_list=self._expand(verb_list, beam_size))
+            params, self.cfg, self._cast(detections),
+            self._cast(det_groups), verb_list=verb_list)
 
         def step_fn(state, pw, pg, t0):
             return captioner_step_v(params, self.cfg, state, statics,
                                     self.tense_table, prev_word=pw,
-                                    prev_gate=pg, t0=t0, gt=gt)
+                                    prev_gate=pg, t0=t0, gt=gt,
+                                    beam=beam_size)
 
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,
@@ -87,12 +102,13 @@ class ControllableCaptioner:
     def _beam_impl(self, params, detections, det_groups, beam_size, eos_word):
         b = detections.shape[0]
         statics = precompute_statics(
-            params, self.cfg, self._expand(detections, beam_size),
-            self._expand(det_groups, beam_size))
+            params, self.cfg, self._cast(detections),
+            self._cast(det_groups))
 
         def step_fn(state, pw, pg, t0):
             return captioner_step(params, self.cfg, state, statics,
-                                  prev_word=pw, prev_gate=pg, t0=t0)
+                                  prev_word=pw, prev_gate=pg, t0=t0,
+                                  beam=beam_size)
 
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,
@@ -105,7 +121,7 @@ class ControllableCaptioner:
                              ctrl_det_seqs=jnp.asarray(ctrl_det_seqs))
 
     def test(self, detections, ctrl_det_seqs_test):
-        return self._greedy(self.params, jnp.asarray(detections),
+        return self._greedy(self.decode_params, jnp.asarray(detections),
                             jnp.asarray(ctrl_det_seqs_test))
 
     def sample_rl(self, detections, ctrl_det_seqs_test, rng):
@@ -114,13 +130,13 @@ class ControllableCaptioner:
 
     def beam_search_v(self, detections, det_groups, verb_list, eos_word,
                       beam_size=5, gt=False) -> BeamResult:
-        return self._beam_v(self.params, jnp.asarray(detections),
+        return self._beam_v(self.decode_params, jnp.asarray(detections),
                             jnp.asarray(det_groups),
                             jnp.asarray(verb_list).astype(jnp.int32),
                             beam_size=beam_size, eos_word=eos_word, gt=gt)
 
     def beam_search(self, detections, det_groups, eos_word,
                     beam_size=5) -> BeamResult:
-        return self._beam(self.params, jnp.asarray(detections),
+        return self._beam(self.decode_params, jnp.asarray(detections),
                           jnp.asarray(det_groups), beam_size=beam_size,
                           eos_word=eos_word)

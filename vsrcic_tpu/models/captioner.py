@@ -181,7 +181,10 @@ def _step_core(params, cfg: CaptionerConfig, state: CaptionerState,
     else:
         input_2 = jnp.concatenate([h1, att_detections], 1)
     h2, c2 = nn.lstm_cell(params["lstm_cell_2"], input_2, (state.h2, state.c2))
-    word_logp = jax.nn.log_softmax(nn.linear(params["out_fc"], h2), axis=-1)
+    # logits upcast: matmuls may run in bf16 (decode fast path) but scores,
+    # softmaxes and beam bookkeeping stay fp32
+    word_logits = nn.linear(params["out_fc"], h2).astype(jnp.float32)
+    word_logp = jax.nn.log_softmax(word_logits, axis=-1)
 
     # shift gate  (ref :181-188)
     g_gate = jax.nn.sigmoid(nn.linear(params["W1_ig"], input_1)
@@ -190,35 +193,59 @@ def _step_core(params, cfg: CaptionerConfig, state: CaptionerState,
     gate_w = jnp.tanh(nn.linear(params["att_ga"], g_t) + ha)
     gate_w = nn.linear(params["att_g"], gate_w)            # (B, 1)
     det_w_sum = jnp.sum(det_curr_mask[:, :, None] * det_w, 1)  # (B, 1)
-    gate_logits = jnp.concatenate([gate_w, det_w_sum], 1)  # (B, 2)
+    gate_logits = jnp.concatenate([gate_w, det_w_sum], 1).astype(jnp.float32)
     gate_logp = jax.nn.log_softmax(gate_logits, axis=-1)
 
     return (word_logp, gate_logp), (h1, c1, h2, c2)
 
 
-def _gather_group(statics: Statics, idx):
-    """Gather the current region group (+proj/mask) at ctrl pointer idx."""
-    take = lambda a: jnp.take_along_axis(
-        a, idx.reshape((-1,) + (1,) * (a.ndim - 1)), axis=1).squeeze(1)
+def _gather_group(statics: Statics, idx, beam: int = 1):
+    """Gather the current region group (+proj/mask) at ctrl pointer idx.
+
+    `beam` > 1 means the decode rows are (item-major) beam-expanded while the
+    statics tables stay UNEXPANDED at per-item batch — all beams of an item
+    share its group tensor, so keeping one copy cuts the gather source (and
+    HBM residency) by the beam factor; only the (rows, M, D) gather output is
+    per-beam. idx: (B_items*beam,) int32.
+    """
+    if beam == 1:
+        take = lambda a: jnp.take_along_axis(
+            a, idx.reshape((-1,) + (1,) * (a.ndim - 1)), axis=1).squeeze(1)
+        return take(statics.det_groups), take(statics.det_groups_proj), \
+            take(statics.det_groups_mask)
+    item = jnp.arange(idx.shape[0], dtype=jnp.int32) // beam
+    take = lambda a: a[item, idx]
     return take(statics.det_groups), take(statics.det_groups_proj), \
         take(statics.det_groups_mask)
 
 
+def _per_row(statics: Statics, beam: int, rows: int):
+    """image_descriptor (and verb_list) per decode row for beam-expanded
+    decodes over unexpanded statics."""
+    if beam == 1:
+        return statics.image_descriptor, statics.verb_list
+    item = jnp.arange(rows, dtype=jnp.int32) // beam
+    vl = statics.verb_list[item] if statics.verb_list is not None else None
+    return statics.image_descriptor[item], vl
+
+
 def captioner_step(params, cfg: CaptionerConfig, state: CaptionerState,
                    statics: Statics, it=None, det_curr=None,
-                   prev_word=None, prev_gate=None, t0=False):
+                   prev_word=None, prev_gate=None, t0=False, beam: int = 1):
     """One decode step.
 
     Teacher forcing: pass `it` (B,) and `det_curr` (B, M, D).
     Feedback: pass prev_word/prev_gate (ignored at t0 where BOS is fed); the
     ctrl pointer advances by prev_gate and the group is gathered from statics.
+    `beam` > 1: decode rows are beam-expanded over unexpanded statics.
     """
     if it is not None and det_curr is not None:  # teacher forcing
         det_proj = nn.linear(params["att_va"], det_curr)
         det_mask = (jnp.sum(det_curr, -1) != 0).astype(det_curr.dtype)
         ctrl = state.ctrl_det_idx
+        image_descriptor = statics.image_descriptor
     else:  # feedback
-        b = statics.image_descriptor.shape[0]
+        b = state.h1.shape[0]
         if t0:
             it = jnp.full((b,), cfg.bos_idx, jnp.int32)
             ctrl = state.ctrl_det_idx
@@ -226,12 +253,12 @@ def captioner_step(params, cfg: CaptionerConfig, state: CaptionerState,
             it = prev_word
             ctrl = jnp.clip(state.ctrl_det_idx + prev_gate, 0,
                             statics.det_groups.shape[1] - 1)
-        det_curr, det_proj, det_mask = _gather_group(
-            statics, ctrl)
+        det_curr, det_proj, det_mask = _gather_group(statics, ctrl, beam)
+        image_descriptor, _ = _per_row(statics, beam, b)
 
     (word_logp, gate_logp), (h1, c1, h2, c2) = _step_core(
         params, cfg, state, it, det_curr, det_proj, det_mask,
-        statics.image_descriptor)
+        image_descriptor)
     return (word_logp, gate_logp), CaptionerState(h1, c1, h2, c2, ctrl)
 
 
@@ -285,13 +312,14 @@ def substitute_verb(word_logp, gate_logp, verb_curr, tense_table: Optional[VerbT
 
 def captioner_step_v(params, cfg: CaptionerConfig, state: CaptionerState,
                      statics: Statics, tense_table: Optional[VerbTenseTable],
-                     prev_word=None, prev_gate=None, t0=False, gt=False):
+                     prev_word=None, prev_gate=None, t0=False, gt=False,
+                     beam: int = 1):
     """Feedback step with verb substitution (ref step_v :192-297).
 
     statics.verb_list (B, L) holds -1 for non-verb slots, else the verb id
     (verb vocab in pred mode / caption vocab in gt mode).
     """
-    b = statics.image_descriptor.shape[0]
+    b = state.h1.shape[0]
     if t0:
         it = jnp.full((b,), cfg.bos_idx, jnp.int32)
         ctrl = state.ctrl_det_idx
@@ -299,16 +327,17 @@ def captioner_step_v(params, cfg: CaptionerConfig, state: CaptionerState,
         it = prev_word
         ctrl = jnp.clip(state.ctrl_det_idx + prev_gate, 0,
                         statics.det_groups.shape[1] - 1)
+    image_descriptor, verb_list = _per_row(statics, beam, b)
     # NB: the reference gathers verb_curr at t=0 too (its gather sits outside
     # the t==0 branch, ref :219-223) — a verb in the first group substitutes
     # already at the first step.
     verb_curr = jnp.take_along_axis(
-        statics.verb_list, ctrl[:, None], axis=1)[:, 0].astype(jnp.int32)
+        verb_list, ctrl[:, None], axis=1)[:, 0].astype(jnp.int32)
 
-    det_curr, det_proj, det_mask = _gather_group(statics, ctrl)
+    det_curr, det_proj, det_mask = _gather_group(statics, ctrl, beam)
     (word_logp, gate_logp), (h1, c1, h2, c2) = _step_core(
         params, cfg, state, it, det_curr, det_proj, det_mask,
-        statics.image_descriptor)
+        image_descriptor)
     word_logp, gate_logp = substitute_verb(word_logp, gate_logp, verb_curr,
                                            tense_table, gt)
     return (word_logp, gate_logp), CaptionerState(h1, c1, h2, c2, ctrl)
