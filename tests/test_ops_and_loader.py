@@ -1,0 +1,79 @@
+"""ops (assignment, pallas sinkhorn) + prefetch loader + gsrl datasets."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vsrcic_tpu.ops.assignment import greedy_assign_device, hungarian_assign
+
+
+def test_hungarian_matches_brute_force():
+    rng = np.random.RandomState(0)
+    from itertools import permutations
+    for _ in range(20):
+        p = rng.rand(4, 4)
+        ass = hungarian_assign(p)
+        best = max(permutations(range(4)),
+                   key=lambda pm: sum(p[i, pm[i]] for i in range(4)))
+        assert sum(p[i, ass[i]] for i in range(4)) == pytest.approx(
+            sum(p[i, best[i]] for i in range(4)))
+
+
+def test_greedy_assign_device_is_permutation():
+    rng = np.random.RandomState(1)
+    p = jnp.asarray(rng.rand(6, 6))
+    out = np.asarray(jax.jit(greedy_assign_device)(p))
+    assert sorted(out.tolist()) == list(range(6))
+
+
+def test_greedy_agrees_with_hungarian_on_near_hard():
+    # low-tau sinkhorn outputs are near permutation matrices
+    rng = np.random.RandomState(2)
+    perm = rng.permutation(8)
+    p = np.eye(8)[perm].T * 0.97 + rng.rand(8, 8) * 0.01
+    assert list(hungarian_assign(p)) == \
+        list(np.asarray(greedy_assign_device(jnp.asarray(p))))
+
+
+def test_pallas_sinkhorn_matches_jnp():
+    from vsrcic_tpu.models.sinkhorn import sinkhorn_normalize
+    from vsrcic_tpu.ops.sinkhorn_kernel import sinkhorn_normalize_pallas
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 10, 10).astype(np.float32))
+    ref = sinkhorn_normalize(x, 20, 0.1)
+    try:
+        out = sinkhorn_normalize_pallas(x, 20, 0.1)
+    except Exception as e:  # pallas TPU lowering not available on CPU tests
+        pytest.skip("pallas unavailable on this backend: %r" % (e,))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_prefetch_loader_order_and_errors():
+    from vsrcic_tpu.data import PrefetchLoader
+    out = list(PrefetchLoader(range(10), depth=3))
+    assert out == list(range(10))
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+    with pytest.raises(ValueError):
+        list(PrefetchLoader(bad(), depth=1))
+
+
+def test_gsrl_datasets():
+    from vsrcic_tpu.data import (Dataset_Flickr, NEWDataset, collater_flickr,
+                                 collater_new, SyntheticFeatureStore)
+    store = SyntheticFeatureStore(feat_dim=64, n_classes=20, n_dets=12)
+    names = ["COCO_train2014_%012d.jpg__0" % i for i in range(3)]
+    ds = NEWDataset(names, store, {n: [["ARG0"]] for n in names},
+                    inference_verbs={n: 5 for n in names})
+    batch = collater_new([ds[i] for i in range(3)])
+    assert batch["det_features"].shape == (3, 50, 64)
+    assert batch["det_cls_feat"].shape == (3, 26, 64)
+    fnames = ["123__0", "456__1"]
+    fds = Dataset_Flickr(fnames, store, {n: [[1]] for n in fnames},
+                         inference_verbs={n: 2 for n in fnames})
+    fb = collater_flickr([fds[i] for i in range(2)])
+    assert fb["det_features"].shape == (2, 56, 64)
