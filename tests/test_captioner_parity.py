@@ -148,3 +148,29 @@ def test_sample_decode_shapes_and_logps(cfg, params):
     assert words.shape == (B, T) and gates.shape == (B, T)
     assert np.all(np.asarray(wlp) <= 0) and np.all(np.asarray(glp) <= 0)
     assert set(np.unique(np.asarray(gates))) <= {0, 1}
+
+
+def test_beam_search_plain_matches(ref_model, cfg, params):
+    """Non-verb beam_search (ref CaptioningModel.beam_search :116-195)."""
+    from vsrcic_tpu.models.captioner import captioner_step
+    beam = 3
+    detections, _, _, groups = make_inputs(5)
+    with torch.no_grad():
+        outs_t, logps_t = ref_model.beam_search(
+            (torch.tensor(detections), torch.tensor(groups)),
+            eos_idxs=[EOS, -1], beam_size=beam, out_size=beam)
+
+    statics = precompute_statics(params, cfg, jnp.asarray(detections),
+                                 jnp.asarray(groups))
+
+    def step_fn(state, pw, pg, t0):
+        return captioner_step(params, cfg, state, statics, prev_word=pw,
+                              prev_gate=pg, t0=t0, beam=beam)
+
+    res = jax.jit(lambda: beam_search_joint(
+        step_fn, init_state(cfg, B * beam), B, beam, cfg.seq_len,
+        eos_word=EOS))()
+    np.testing.assert_array_equal(np.asarray(res.words), outs_t[0].numpy())
+    np.testing.assert_array_equal(np.asarray(res.gates), outs_t[1].numpy())
+    np.testing.assert_allclose(np.asarray(res.word_logps),
+                               logps_t[0].numpy(), rtol=1e-4, atol=1e-5)

@@ -95,3 +95,21 @@ def test_constrained_emits_each_slot_once(cfg, params):
                            jnp.asarray(det_sr), mode="not-normal")
     got = sorted(x for x in np.asarray(pred[0]) if x != 0)
     assert got == [2, 2, 7]
+
+
+def test_ssp_beam_search_runs(cfg, params):
+    from vsrcic_tpu.models.s_ssp import ssp_beam_search
+    import jax as _jax
+    verb, det_sr, _ = make_batch(3)
+    seqs, scores = _jax.jit(
+        lambda v, d: ssp_beam_search(params, cfg, v, d, beam_size=3))(
+        jnp.asarray(verb), jnp.asarray(det_sr))
+    assert seqs.shape == (B, 3, 10)
+    # scores sorted desc per item
+    assert np.all(np.diff(np.asarray(scores), axis=1) <= 1e-6)
+    # best beam should match greedy (normal mode) on the first emitted token
+    pred_g, _ = ssp_generate(params, cfg, jnp.asarray(verb),
+                             jnp.asarray(det_sr), mode="normal")
+    # beam-1 prefix score is argmax => same first token as greedy
+    assert np.array_equal(np.asarray(seqs[:, 0, 0] != -1),
+                          np.ones(B, bool))

@@ -207,3 +207,61 @@ def ssp_generate(params, cfg: SSPConfig, verb, det_sr, mode="normal"
              jnp.zeros((b, t_max), jnp.int32), jnp.zeros((b, t_max)))
     (x_buf, _, _, pred, lps), _ = jax.lax.scan(body, carry, jnp.arange(t_max))
     return pred, lps
+
+
+def ssp_beam_search(params, cfg: SSPConfig, verb, det_sr, beam_size: int = 3
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched beam search over role sequences.
+
+    The reference ships a `sample_beam`/`beam_search` pair that is dead code —
+    it calls a nonexistent `self.prior_encoder` (reference sort_model.py:193)
+    and host-loops per example — so there is no upstream behavior to
+    reproduce. This is a functional replacement: device-resident, batched,
+    token 0 = <eos>; finished beams extend only with <eos> at zero cost.
+
+    Returns (sequences (B, beam, max_len) int32 sorted by score desc,
+    scores (B, beam)).
+    """
+    det_sr = jnp.asarray(det_sr).astype(jnp.int32)
+    b, l = det_sr.shape
+    k = beam_size
+    t_max = cfg.max_len
+    prior = ssp_encode(params, cfg, verb, det_sr)
+    prior_k = jnp.repeat(prior, k, axis=0)            # (B*K, L, H)
+
+    x_buf = jnp.zeros((b * k, t_max + 1), jnp.int32)
+    scores = jnp.tile(jnp.where(jnp.arange(k) == 0, 0.0, -jnp.inf)[None],
+                      (b, 1))                          # only beam 0 live at t0
+    alive = jnp.ones((b, k), bool)
+    seqs = jnp.zeros((b, k, t_max), jnp.int32)
+
+    def logprobs_at(x_buf, t):
+        states = ssp_decode(params, cfg, x_buf, prior_k)
+        logits = nn.linear(params["expander_nn"],
+                           jax.lax.dynamic_index_in_dim(states, t, 1,
+                                                        keepdims=False))
+        return jax.nn.log_softmax(logits, axis=-1)     # (B*K, 26)
+
+    def body(carry, t):
+        x_buf, scores, alive, seqs = carry
+        logp = logprobs_at(x_buf, t).reshape(b, k, N_SR)
+        # finished beams: only token 0 at zero added cost
+        eos_only = jnp.where(jnp.arange(N_SR) == 0, 0.0, -jnp.inf)
+        logp = jnp.where(alive[:, :, None], logp, eos_only[None, None, :])
+        total = scores[:, :, None] + logp              # (B, K, 26)
+        flat_scores, idx = jax.lax.top_k(total.reshape(b, k * N_SR), k)
+        sel_beam = idx // N_SR
+        tok = (idx - sel_beam * N_SR).astype(jnp.int32)
+
+        gather2 = lambda a: jnp.take_along_axis(a, sel_beam, axis=1)
+        seqs = jnp.take_along_axis(seqs, sel_beam[:, :, None], axis=1)
+        seqs = seqs.at[:, :, t].set(tok)
+        alive = gather2(alive.astype(jnp.int32)).astype(bool) & (tok != 0)
+        row = (jnp.arange(b * k) // k) * k
+        x_buf = x_buf[row + sel_beam.reshape(-1)]
+        x_buf = x_buf.at[:, t + 1].set(tok.reshape(-1))
+        return (x_buf, flat_scores, alive, seqs), None
+
+    (x_buf, scores, alive, seqs), _ = jax.lax.scan(
+        body, (x_buf, scores, alive, seqs), jnp.arange(t_max))
+    return seqs, scores

@@ -31,14 +31,13 @@ def _kernel(x_ref, o_ref, *, n_iters: float, tau: float):
     o_ref[:] = jax.lax.fori_loop(0, n_iters, body, v)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
+@functools.partial(jax.jit, static_argnames=("n_iters", "tau"))
 def sinkhorn_normalize_pallas(x, n_iters: int = 20, tau: float = 0.1):
     """x: (B, N, N) scores -> soft permutation, fused on-chip loop."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, _ = x.shape
-    tau_arr = jnp.float32(tau)  # closed over as a constant
     kernel = functools.partial(_kernel, n_iters=n_iters, tau=float(tau))
     return pl.pallas_call(
         kernel,
