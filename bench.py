@@ -37,9 +37,12 @@ def main():
     L, M, N_DET = 10, 20, 50
 
     key = jax.random.PRNGKey(0)
+    import os
     captioner = ControllableCaptioner(
         cfg, key=key,
-        verb_2_vob_all={str(i): [5 + i, 40 + i] for i in range(1, 200)})
+        verb_2_vob_all={str(i): [5 + i, 40 + i] for i in range(1, 200)},
+        use_fused_attention=bool(int(os.environ.get("VSRCIC_FUSED_ATT", "1")))
+        and on_tpu)
 
     kd, kg, kv = jax.random.split(key, 3)
     detections = jax.random.normal(kd, (batch, N_DET, cfg.det_feat_size),

@@ -39,16 +39,20 @@ def build_verb_tense_table(verb_2_vob_all: Dict[str, list],
 class ControllableCaptioner:
     def __init__(self, cfg: CaptionerConfig, params=None, key=None,
                  verb_2_vob_all: Optional[Dict] = None,
-                 decode_dtype=None):
+                 decode_dtype=None, use_fused_attention: bool = False):
         """decode_dtype: compute dtype for the decode fast paths (e.g.
         jnp.bfloat16 for TPU serving — matmuls run on the MXU in bf16 while
         logits/scores/softmaxes stay fp32, see models.captioner._step_core).
-        None keeps full fp32 (parity mode)."""
+        None keeps full fp32 (parity mode).
+        use_fused_attention: route beam_search_v's group gather + attention
+        through the fused Pallas kernel (TPU only)."""
         self.cfg = cfg
         if params is None:
             params = init_captioner_params(
                 key if key is not None else jax.random.PRNGKey(1234), cfg)
         self.params = params
+        self.use_fused_attention = use_fused_attention
+        self._fused_cache = {}
         self.decode_dtype = decode_dtype
         self.decode_params = (
             jax.tree.map(lambda x: x.astype(decode_dtype), params)
@@ -81,6 +85,15 @@ class ControllableCaptioner:
                 if self.decode_dtype is not None and
                 jnp.issubdtype(a.dtype, jnp.floating) else a)
 
+    def _fused_fn(self, b, l, m, d, beam):
+        key = (b, l, m, d, beam)
+        if key not in self._fused_cache:
+            from vsrcic_tpu.ops.fused_attention import \
+                make_fused_group_attention
+            self._fused_cache[key] = make_fused_group_attention(
+                b, l, m, d, self.cfg.att_size, rows=b * beam)
+        return self._fused_cache[key]
+
     def _beam_v_impl(self, params, detections, det_groups, verb_list,
                      beam_size, eos_word, gt):
         # statics stay UNEXPANDED (per item); the steps gather per beam row
@@ -88,12 +101,24 @@ class ControllableCaptioner:
         statics = precompute_statics(
             params, self.cfg, self._cast(detections),
             self._cast(det_groups), verb_list=verb_list)
+        fused = (self._fused_fn(b, det_groups.shape[1], det_groups.shape[2],
+                                det_groups.shape[3], beam_size)
+                 if self.use_fused_attention else None)
+        if fused is not None and statics.det_groups.shape[2] != fused.m_pad:
+            # pad the M axis once for the kernel's DMA tiling alignment
+            pad = [(0, 0), (0, 0),
+                   (0, fused.m_pad - statics.det_groups.shape[2]), (0, 0)]
+            from vsrcic_tpu.models.captioner import Statics
+            statics = Statics(statics.image_descriptor,
+                              jnp.pad(statics.det_groups, pad),
+                              jnp.pad(statics.det_groups_proj, pad),
+                              statics.det_groups_mask, statics.verb_list)
 
         def step_fn(state, pw, pg, t0):
             return captioner_step_v(params, self.cfg, state, statics,
                                     self.tense_table, prev_word=pw,
                                     prev_gate=pg, t0=t0, gt=gt,
-                                    beam=beam_size)
+                                    beam=beam_size, fused_fn=fused)
 
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,

@@ -199,6 +199,55 @@ def _step_core(params, cfg: CaptionerConfig, state: CaptionerState,
     return (word_logp, gate_logp), (h1, c1, h2, c2)
 
 
+def _step_core_fused(params, cfg: CaptionerConfig, state: CaptionerState,
+                     it, statics: Statics, ctrl, beam: int, fused_fn,
+                     image_descriptor):
+    """_step_core variant using the fused Pallas gather+attention kernel
+    (ops/fused_attention.py): the region group is DMA'd and attended on-chip;
+    only the attended vector and gate evidence come back. Numerically matches
+    the XLA path (kernel verified on TPU)."""
+    xt = nn.embedding(params["embed"], it)
+    if cfg.h2_first_lstm:
+        input_1 = jnp.concatenate([state.h2, image_descriptor, xt], 1)
+    else:
+        input_1 = jnp.concatenate([image_descriptor, xt], 1)
+
+    s_gate = jax.nn.sigmoid(nn.linear(params["W1_is"], input_1)
+                            + nn.linear(params["W1_hs"], state.h1))
+    h1, c1 = nn.lstm_cell(params["lstm_cell_1"], input_1, (state.h1, state.c1))
+    s_t = s_gate * jnp.tanh(c1)
+    fc_sentinel = nn.linear(params["s_fc"], s_t)              # (B, D)
+
+    ha = nn.linear(params["att_ha"], h1)                      # (B, A)
+    sent_w = nn.linear(params["att_s"],
+                       jnp.tanh(nn.linear(params["att_sa"], s_t) + ha))
+    sent_mask = (jnp.sum(fc_sentinel, -1, keepdims=True) != 0
+                 ).astype(fc_sentinel.dtype)
+    rows = h1.shape[0]
+    item = jnp.arange(rows, dtype=jnp.int32) // beam
+    att_detections, det_w_sum = fused_fn(
+        item, ctrl, ha, sent_w, sent_mask, fc_sentinel,
+        params["att_a"]["weight"][0], statics.det_groups,
+        statics.det_groups_proj)
+
+    if cfg.img_second_lstm:
+        input_2 = jnp.concatenate([h1, att_detections, image_descriptor], 1)
+    else:
+        input_2 = jnp.concatenate([h1, att_detections], 1)
+    h2, c2 = nn.lstm_cell(params["lstm_cell_2"], input_2, (state.h2, state.c2))
+    word_logits = nn.linear(params["out_fc"], h2).astype(jnp.float32)
+    word_logp = jax.nn.log_softmax(word_logits, axis=-1)
+
+    g_gate = jax.nn.sigmoid(nn.linear(params["W1_ig"], input_1)
+                            + nn.linear(params["W1_hg"], h1))
+    g_t = g_gate * jnp.tanh(c1)
+    gate_w = nn.linear(params["att_g"],
+                       jnp.tanh(nn.linear(params["att_ga"], g_t) + ha))
+    gate_logits = jnp.concatenate([gate_w, det_w_sum], 1).astype(jnp.float32)
+    gate_logp = jax.nn.log_softmax(gate_logits, axis=-1)
+    return (word_logp, gate_logp), (h1, c1, h2, c2)
+
+
 def _gather_group(statics: Statics, idx, beam: int = 1):
     """Gather the current region group (+proj/mask) at ctrl pointer idx.
 
@@ -313,7 +362,7 @@ def substitute_verb(word_logp, gate_logp, verb_curr, tense_table: Optional[VerbT
 def captioner_step_v(params, cfg: CaptionerConfig, state: CaptionerState,
                      statics: Statics, tense_table: Optional[VerbTenseTable],
                      prev_word=None, prev_gate=None, t0=False, gt=False,
-                     beam: int = 1):
+                     beam: int = 1, fused_fn=None):
     """Feedback step with verb substitution (ref step_v :192-297).
 
     statics.verb_list (B, L) holds -1 for non-verb slots, else the verb id
@@ -334,10 +383,15 @@ def captioner_step_v(params, cfg: CaptionerConfig, state: CaptionerState,
     verb_curr = jnp.take_along_axis(
         verb_list, ctrl[:, None], axis=1)[:, 0].astype(jnp.int32)
 
-    det_curr, det_proj, det_mask = _gather_group(statics, ctrl, beam)
-    (word_logp, gate_logp), (h1, c1, h2, c2) = _step_core(
-        params, cfg, state, it, det_curr, det_proj, det_mask,
-        image_descriptor)
+    if fused_fn is not None:
+        (word_logp, gate_logp), (h1, c1, h2, c2) = _step_core_fused(
+            params, cfg, state, it, statics, ctrl, beam, fused_fn,
+            image_descriptor)
+    else:
+        det_curr, det_proj, det_mask = _gather_group(statics, ctrl, beam)
+        (word_logp, gate_logp), (h1, c1, h2, c2) = _step_core(
+            params, cfg, state, it, det_curr, det_proj, det_mask,
+            image_descriptor)
     word_logp, gate_logp = substitute_verb(word_logp, gate_logp, verb_curr,
                                            tense_table, gt)
     return (word_logp, gate_logp), CaptionerState(h1, c1, h2, c2, ctrl)
