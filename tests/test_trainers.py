@@ -119,3 +119,57 @@ def test_sinkhorn_trainer():
     losses = [tr.step(inputs, tr_locs, gt_locs, n_images=1)
               for _ in range(5)]
     assert losses[-1] < losses[0]
+
+
+def test_compact_control_equivalence(cfg):
+    """Compact int-id control path == dense feature path, bit for bit."""
+    from vsrcic_tpu.decode.loops import (expand_compact_groups,
+                                         forward_teacher_forcing)
+    rng = np.random.RandomState(0)
+    detections = rng.rand(B, 10, D).astype(np.float32)
+    captions = rng.randint(0, V, size=(B, T))
+    ids = rng.randint(-1, 10, size=(B, T, M)).astype(np.int32)
+    dense = np.zeros((B, T, M, D), np.float32)
+    for b in range(B):
+        for t in range(T):
+            for m in range(M):
+                if ids[b, t, m] >= 0:
+                    dense[b, t, m] = detections[b, ids[b, t, m]]
+    expanded = np.asarray(expand_compact_groups(jnp.asarray(detections),
+                                                jnp.asarray(ids)))
+    np.testing.assert_array_equal(expanded, dense)
+
+    params = init_captioner_params(jax.random.PRNGKey(0), cfg)
+    out_d, gate_d = forward_teacher_forcing(
+        params, cfg, jnp.asarray(detections), jnp.asarray(captions),
+        jnp.asarray(dense))
+    from vsrcic_tpu.decode.loops import forward_teacher_forcing_compact
+    out_c, gate_c = forward_teacher_forcing_compact(
+        params, cfg, jnp.asarray(detections), jnp.asarray(captions),
+        jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_d),
+                               rtol=1e-6)
+
+
+def test_compact_field_matches_dense(tmp_path):
+    """COCOControlSequenceField(compact) ids expand to the dense tensors."""
+    from vsrcic_tpu.data import (COCOControlSequenceField, SyntheticCOCO)
+    syn = SyntheticCOCO(n_images=4, n_val=1, n_test=1, feat_dim=32)
+    dense_f = COCOControlSequenceField(
+        syn.store, classes_path=syn.classes, padding_idx=-1, all_boxes=False,
+        fix_length=20)
+    compact_f = COCOControlSequenceField(
+        syn.store, classes_path=syn.classes, padding_idx=-1, all_boxes=False,
+        fix_length=20, compact=True)
+    train, _, _ = syn.sample_splits
+    ex = train[0]
+    x = (ex.detection[0], ex.detection[1])
+    dense = dense_f.preprocess(x)
+    comp = compact_f.preprocess(x)
+    feats = syn.store.get(
+        int(ex.image.split("_")[-1].split(".")[0])).features
+    for d_out, c_ids in ((dense[0], comp[0]), (dense[2], comp[2])):
+        got = np.where((c_ids >= 0)[..., None],
+                       feats[np.clip(c_ids, 0, len(feats) - 1)], 0.0)
+        np.testing.assert_allclose(got, d_out, rtol=1e-6)
+    np.testing.assert_array_equal(dense[1], comp[1])

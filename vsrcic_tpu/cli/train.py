@@ -50,7 +50,7 @@ def main(argv=None):
     image_field = ImageDetectionsField(world.store, max_detections=100)
     det_field = COCOControlSequenceField(
         world.store, classes_path=world.classes, padding_idx=-1,
-        all_boxes=False, fix_length=20)
+        all_boxes=False, fix_length=20, compact=True)
 
     train_ds = PairedDataset(train_ex, {"image": image_field,
                                         "detection": det_field,
@@ -99,7 +99,11 @@ def main(argv=None):
             (dets, _), det_out, caps = batch
             det_seqs, gate_gts, det_seqs_test, _ = det_out
             if opt.sample_rl:
-                loss, adv = trainer.step(dets, det_seqs_test, list(caps),
+                import jax.numpy as jnp
+                from vsrcic_tpu.decode.loops import expand_compact_groups
+                groups = expand_compact_groups(jnp.asarray(dets),
+                                               jnp.asarray(det_seqs_test))
+                loss, adv = trainer.step(dets, groups, list(caps),
                                          jax.random.PRNGKey(step))
             else:
                 cap_ids = tf.process(list(caps))
@@ -120,12 +124,16 @@ def main(argv=None):
             (dets, _), det_out, caps = batch
             _, _, det_seqs_test, _ = det_out
             import jax.numpy as jnp
-            statics = precompute_statics(trainer.state.params, cfg,
-                                         jnp.asarray(dets),
-                                         jnp.asarray(det_seqs_test))
-            words, _ = jax.jit(
-                lambda s: greedy_decode(trainer.state.params, cfg, s)
-            )(statics)
+            from vsrcic_tpu.decode.loops import expand_compact_groups
+
+            @jax.jit
+            def _val_decode(params, dets, ids_test):
+                groups = expand_compact_groups(dets, ids_test)
+                statics = precompute_statics(params, cfg, dets, groups)
+                return greedy_decode(params, cfg, statics)
+
+            words, _ = _val_decode(trainer.state.params, jnp.asarray(dets),
+                                   jnp.asarray(det_seqs_test))
             for w, c in zip(np.asarray(words), caps):
                 gen[i] = [dedup_join(tf.decode(w, join_words=False))]
                 gts[i] = [c]

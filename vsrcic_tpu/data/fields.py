@@ -109,9 +109,20 @@ class RawField:
 # ---------------------------------------------------------------------------
 
 class COCOControlSequenceField(RawField):
+    """Captioner-training control field (ref :15-110).
+
+    `compact=True` emits region-group *detection indices* `(fix_length,
+    max_detections) int32` (−1 padded) instead of materialized `(fix_length,
+    max_detections, 2048)` feature tensors — an ~8x smaller host->device
+    payload; the decode/training scans gather the features on device from the
+    image's detection tensor (exact same values; requires group det ids <
+    the image field's max_detections, which holds for the released HDF5).
+    """
+
     def __init__(self, store, classes_path=None, padding_idx=0,
                  fix_length=None, all_boxes=True, pad_eos=True,
-                 max_detections=20, sorting=False, postprocessing=None):
+                 max_detections=20, sorting=False, compact=False,
+                 postprocessing=None):
         super().__init__(None, postprocessing)
         self.store = store
         self.max_detections = max_detections
@@ -119,6 +130,7 @@ class COCOControlSequenceField(RawField):
         self.fix_length = fix_length
         self.all_boxes = all_boxes
         self.sorting = sorting
+        self.compact = compact
         self.eos_token = padding_idx if pad_eos else None
         self.classes = _load(classes_path, load_classes)
 
@@ -151,6 +163,31 @@ class COCOControlSequenceField(RawField):
             last = len(cls_seq[:max_len])
             det_sequences[last:] = det_sequences[last - 1]
         return det_sequences.astype(np.float32)
+
+    def _fill_ids(self, cls_seq, det_boxes, selected_classes,
+                  most_probable_idxs, max_len, n_dets):
+        """Compact variant of _fill: same group selection, but emits row
+        indices into the image's detection tensor (-1 = padding)."""
+        ids = np.full((self.fix_length, self.max_detections), -1, np.int32)
+        for j, cls in enumerate(cls_seq[:max_len]):
+            if cls == "_":
+                take = most_probable_idxs[:self.max_detections]
+            else:
+                seed = [i for i, c in enumerate(selected_classes) if c == cls]
+                if self.all_boxes:
+                    take = np.unique(np.concatenate(
+                        [self.get_detections_inside(det_boxes, d)
+                         for d in seed]))
+                else:
+                    take = np.unique(seed)
+                take = take[:self.max_detections]
+            take = np.asarray(take, np.int32)
+            take = take[take < n_dets]
+            ids[j, :len(take)] = take
+        if not self.sorting:
+            last = len(cls_seq[:max_len])
+            ids[last:] = ids[last - 1]
+        return ids
 
     def preprocess(self, x):
         image = x[0][0]
@@ -185,6 +222,17 @@ class COCOControlSequenceField(RawField):
         cls_seq_gt = cls_seq_gt.astype(np.float32)
 
         cls_seq_test = [k for k, _ in groupby(det_classes) if k is not None]
+        if self.compact:
+            n_dets = min(len(det_features), 100)  # image-field row budget
+            if self.sorting:
+                cls_seq_test.sort()
+                return self._fill_ids(cls_seq_test, det_boxes, selected,
+                                      most_probable_idxs, max_len, n_dets)
+            ids = self._fill_ids(cls_seq, det_boxes, selected,
+                                 most_probable_idxs, max_len, n_dets)
+            ids_test = self._fill_ids(cls_seq_test, det_boxes, selected,
+                                      most_probable_idxs, max_len, n_dets)
+            return ids, cls_seq_gt, ids_test, " ".join(cls_seq_test)
         if self.sorting:
             cls_seq_test.sort()
             return self._fill(cls_seq_test, det_features, det_boxes, selected,

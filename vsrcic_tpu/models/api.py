@@ -145,6 +145,11 @@ class ControllableCaptioner:
                              captions=jnp.asarray(captions),
                              ctrl_det_seqs=jnp.asarray(ctrl_det_seqs))
 
+    def __call__(self, statics, seqs):
+        """Reference calling convention: model((detections,), (captions,
+        ctrl_det_seqs)) (ref coco_scripts/train.py:103)."""
+        return self.forward(statics[0], seqs[0], seqs[1])
+
     def test(self, detections, ctrl_det_seqs_test):
         return self._greedy(self.decode_params, jnp.asarray(detections),
                             jnp.asarray(ctrl_det_seqs_test))

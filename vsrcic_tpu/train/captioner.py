@@ -38,7 +38,14 @@ from vsrcic_tpu.text.tokenizer import ptb_tokenize
 def xe_loss_fn(params, cfg: CaptionerConfig, detections, captions,
                ctrl_det_seqs, gate_targets):
     """ref train.py:103-110 (word loss shifted; gate loss unshifted,
-    weighted 4x, padding ignored via index -1)."""
+    weighted 4x, padding ignored via index -1).
+
+    ctrl_det_seqs: dense (B, T, M, D) float groups OR compact (B, T, M) int
+    group indices (expanded on device — 8x smaller host->device payload).
+    """
+    if jnp.issubdtype(ctrl_det_seqs.dtype, jnp.integer):
+        from vsrcic_tpu.decode.loops import expand_compact_groups
+        ctrl_det_seqs = expand_compact_groups(detections, ctrl_det_seqs)
     word_logp, gate_logp = forward_teacher_forcing(
         params, cfg, detections, captions, ctrl_det_seqs)
     loss_cap = nll_loss(word_logp[:, :-1], captions[:, 1:])
