@@ -42,7 +42,8 @@ def main():
         cfg, key=key,
         verb_2_vob_all={str(i): [5 + i, 40 + i] for i in range(1, 200)},
         use_fused_attention=bool(int(os.environ.get("VSRCIC_FUSED_ATT", "1")))
-        and on_tpu)
+        and on_tpu,
+        table_dtype=jnp.bfloat16 if on_tpu else None)
 
     kd, kg, kv = jax.random.split(key, 3)
     detections = jax.random.normal(kd, (batch, N_DET, cfg.det_feat_size),

@@ -39,13 +39,15 @@ def build_verb_tense_table(verb_2_vob_all: Dict[str, list],
 class ControllableCaptioner:
     def __init__(self, cfg: CaptionerConfig, params=None, key=None,
                  verb_2_vob_all: Optional[Dict] = None,
-                 decode_dtype=None, use_fused_attention: bool = False):
-        """decode_dtype: compute dtype for the decode fast paths (e.g.
-        jnp.bfloat16 for TPU serving — matmuls run on the MXU in bf16 while
-        logits/scores/softmaxes stay fp32, see models.captioner._step_core).
-        None keeps full fp32 (parity mode).
-        use_fused_attention: route beam_search_v's group gather + attention
-        through the fused Pallas kernel (TPU only)."""
+                 decode_dtype=None, use_fused_attention: bool = False,
+                 table_dtype=None):
+        """decode_dtype: cast params for decode (measured SLOWER on TPU than
+        default-precision fp32 — see docs/ENGINEERING_NOTES.md; kept as an
+        option). table_dtype: storage dtype for the beam statics tables
+        (det_groups/proj) — jnp.bfloat16 halves the dominant decode-step DMA
+        bytes (+3% measured with the fused kernel); scores/softmaxes stay
+        fp32 either way. use_fused_attention: route beam_search_v's group
+        gather + attention through the fused Pallas kernel (TPU only)."""
         self.cfg = cfg
         if params is None:
             params = init_captioner_params(
@@ -54,6 +56,7 @@ class ControllableCaptioner:
         self.use_fused_attention = use_fused_attention
         self._fused_cache = {}
         self.decode_dtype = decode_dtype
+        self.table_dtype = table_dtype
         self.decode_params = (
             jax.tree.map(lambda x: x.astype(decode_dtype), params)
             if decode_dtype is not None else params)
@@ -81,9 +84,9 @@ class ControllableCaptioner:
         return jnp.repeat(a, k, axis=0)
 
     def _cast(self, a):
-        return (a.astype(self.decode_dtype)
-                if self.decode_dtype is not None and
-                jnp.issubdtype(a.dtype, jnp.floating) else a)
+        dt = self.table_dtype or self.decode_dtype
+        return (a.astype(dt) if dt is not None
+                and jnp.issubdtype(a.dtype, jnp.floating) else a)
 
     def _fused_fn(self, b, l, m, d, beam):
         key = (b, l, m, d, beam)
@@ -91,7 +94,9 @@ class ControllableCaptioner:
             from vsrcic_tpu.ops.fused_attention import \
                 make_fused_group_attention
             self._fused_cache[key] = make_fused_group_attention(
-                b, l, m, d, self.cfg.att_size, rows=b * beam)
+                b, l, m, d, self.cfg.att_size, rows=b * beam,
+                table_dtype=self.table_dtype or self.decode_dtype
+                or jnp.float32)
         return self._fused_cache[key]
 
     def _beam_v_impl(self, params, detections, det_groups, verb_list,
@@ -104,14 +109,21 @@ class ControllableCaptioner:
         fused = (self._fused_fn(b, det_groups.shape[1], det_groups.shape[2],
                                 det_groups.shape[3], beam_size)
                  if self.use_fused_attention else None)
-        if fused is not None and statics.det_groups.shape[2] != fused.m_pad:
-            # pad the M axis once for the kernel's DMA tiling alignment
-            pad = [(0, 0), (0, 0),
-                   (0, fused.m_pad - statics.det_groups.shape[2]), (0, 0)]
+        if fused is not None:
+            # pad the M axis once for the kernel's DMA tiling alignment and
+            # store both tables in the kernel's table dtype (proj promotes to
+            # f32 through att_va even when groups are cast)
             from vsrcic_tpu.models.captioner import Statics
-            statics = Statics(statics.image_descriptor,
-                              jnp.pad(statics.det_groups, pad),
-                              jnp.pad(statics.det_groups_proj, pad),
+            tdt = (self.table_dtype or self.decode_dtype
+                   or statics.det_groups.dtype)
+            groups = statics.det_groups.astype(tdt)
+            proj = statics.det_groups_proj.astype(tdt)
+            if groups.shape[2] != fused.m_pad:
+                pad = [(0, 0), (0, 0),
+                       (0, fused.m_pad - groups.shape[2]), (0, 0)]
+                groups = jnp.pad(groups, pad)
+                proj = jnp.pad(proj, pad)
+            statics = Statics(statics.image_descriptor, groups, proj,
                               statics.det_groups_mask, statics.verb_list)
 
         def step_fn(state, pw, pg, t0):

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 def make_fused_group_attention(b_items: int, l: int, m: int, d: int, a: int,
                                rows: int, rows_per_block: int = 8,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               table_dtype=jnp.float32):
     """Build the fused kernel for static shapes.
 
     Returns fn(item, ctrl, ha, sent_w, sent_mask, fc_sentinel, att_a_vec,
@@ -79,8 +80,8 @@ def make_fused_group_attention(b_items: int, l: int, m: int, d: int, a: int,
             cdj.wait()
             cpj.wait()
 
-            det = det_buf[slot]                     # (m_pad, D)
-            proj = proj_buf[slot]                   # (m_pad, A)
+            det = det_buf[slot].astype(jnp.float32)   # (m_pad, D)
+            proj = proj_buf[slot].astype(jnp.float32)  # (m_pad, A)
             mask = (jnp.sum(det, axis=-1, keepdims=True) != 0
                     ).astype(jnp.float32)           # (M, 1)
             ha = ha_ref[j, :]                       # (A,)
@@ -130,8 +131,8 @@ def make_fused_group_attention(b_items: int, l: int, m: int, d: int, a: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, m_pad, d), jnp.float32),
-            pltpu.VMEM((2, m_pad, a), jnp.float32),
+            pltpu.VMEM((2, m_pad, d), table_dtype),
+            pltpu.VMEM((2, m_pad, a), table_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
