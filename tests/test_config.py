@@ -1,0 +1,39 @@
+"""Config tree roundtrip + checkpoint manager behavior."""
+import numpy as np
+
+from vsrcic_tpu.core.config import (
+    CaptionerPipelineConfig, EvalPipelineConfig, PlannerPipelineConfig,
+    from_dict, load_config, save_config, to_dict)
+from vsrcic_tpu.core.checkpoint import (CheckpointManager, restore_checkpoint,
+                                        save_checkpoint)
+
+
+def test_config_roundtrip(tmp_path):
+    for cls in (CaptionerPipelineConfig, PlannerPipelineConfig,
+                EvalPipelineConfig):
+        c = cls()
+        assert from_dict(cls, to_dict(c)) == c
+        p = str(tmp_path / (cls.__name__ + ".json"))
+        save_config(c, p)
+        assert load_config(cls, p) == c
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "step": np.asarray(7)}
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, tree)
+    got = restore_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                  tree["params"]["w"])
+    assert int(np.asarray(got["step"])) == 7
+
+
+def test_checkpoint_manager_patience(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), "m")
+    tree = {"params": {"w": np.zeros(2, np.float32)}}
+    assert not mgr.step(tree, 1.0, 0, patience_limit=2)   # best
+    assert not mgr.step(tree, 0.5, 1, patience_limit=2)   # patience 1
+    assert mgr.step(tree, 0.4, 2, patience_limit=2)       # patience 2 -> stop
+    assert mgr.restore(best=True) is not None
+    assert mgr.meta["best_metric"] == 1.0

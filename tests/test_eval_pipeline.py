@@ -131,3 +131,34 @@ def test_pipeline_with_shared_sr_regions(world):
     # all three region groups must appear (permuted) in the recons
     assert (np.sum(recons[0], (1, 2)) != 0).sum() == L  # tail filled w/ last
     assert vls.shape == (1, L)
+
+
+def test_eval_pipeline_gt_verb_mode(world):
+    """--gt mode: verb slots carry caption-vocab ids, substituted one-hot."""
+    syn, tf, captioner, ssp_cfg, ssp_params, kcfg, kparams = world
+    from vsrcic_tpu.models.api import ControllableCaptioner
+    cap_gt = ControllableCaptioner(captioner.cfg, params=captioner.params,
+                                   verb_2_vob_all=syn.verb_2_vob_all(tf))
+    rng = np.random.RandomState(1)
+    L, M = 10, 5
+    vocab_verb_id = 7  # some caption-vocab id
+    job = CaptionJob(
+        seqs_vis=rng.rand(L, FEAT).astype(np.float32),
+        seqs_txt=rng.rand(L, 300).astype(np.float32),
+        seqs_pos=rng.rand(L, 4).astype(np.float32),
+        seqs_all=rng.rand(L, M, FEAT).astype(np.float32),
+        control_verb=np.array([2.0, 0, 0, 0, 0, 0, 0, 0]),
+        det_seqs_v=np.zeros((L, 8)),
+        det_seqs_sr=np.zeros((L, 8)),
+        verb_list=np.full((L, 1), -1.0))
+    job.det_seqs_v[0, 0] = 2.0
+    job.det_seqs_sr[0, 0] = 25.0  # V role
+    job.verb_list[0, 0] = vocab_verb_id
+    pipe = EvalPipeline(cap_gt, ssp_params, ssp_cfg, kparams, kcfg,
+                        eos_word=tf.eos_idx, beam_size=2, gt=True)
+    dets = rng.rand(1, 20, FEAT).astype(np.float32)
+    words = pipe.run_batch(dets, [job])
+    assert words.shape == (1, 20)
+    # the forced verb id must appear in the decoded sequence (substitution
+    # makes it the only choice at its slot with the gate forced to shift)
+    assert vocab_verb_id in list(words[0])

@@ -24,10 +24,13 @@ def main(argv=None):
     p.add_argument("--img_second_lstm", default=0, type=int)
     p.add_argument("--sample_rl", action="store_true")
     p.add_argument("--patience", default=5, type=int)
+    p.add_argument("--log_dir", default=None, type=str)
     opt = p.parse_args(argv)
     print(opt)
     force_platform(opt.platform)
     seed_all(opt.seed)
+    from vsrcic_tpu.utils.observability import MetricLogger
+    mlog = MetricLogger(opt.log_dir)
 
     import jax
     from vsrcic_tpu.core.checkpoint import CheckpointManager
@@ -110,6 +113,7 @@ def main(argv=None):
                 loss, lc, lg = trainer.step(dets, cap_ids, det_seqs,
                                             gate_gts)
             running += loss
+            mlog.add_scalar('train_loss', loss, step)
             n_it += 1
             step += 1
             if opt.max_steps and step >= opt.max_steps:

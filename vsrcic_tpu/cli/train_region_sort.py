@@ -20,10 +20,13 @@ def main(argv=None):
     p.add_argument("--learning_rate_decay_every", default=3, type=int)
     p.add_argument("--learning_rate_decay_rate", default=0.6, type=float)
     p.add_argument("--stop_epoch", default=20, type=int)
+    p.add_argument("--log_dir", default=None, type=str)
     opt = p.parse_args(argv)
     print(opt)
     force_platform(opt.platform)
     seed_all(opt.seed)
+    from vsrcic_tpu.utils.observability import MetricLogger
+    mlog = MetricLogger(opt.log_dir)
 
     import jax
     from vsrcic_tpu.core.checkpoint import save_checkpoint
@@ -73,6 +76,7 @@ def main(argv=None):
             loss = trainer.step(verbs, det_sr, gt_sr,
                                 jax.random.PRNGKey(step))
             running += loss
+            mlog.add_scalar('train_loss', loss, step)
             n_it += 1
             step += 1
             if opt.max_steps and step >= opt.max_steps:

@@ -21,10 +21,13 @@ def main(argv=None):
     p.add_argument("--learning_rate_decay_rate", default=0.6, type=float)
     p.add_argument("--stop_epoch", default=20, type=int)
     p.add_argument("--sinkhorn_len", default=10, type=int)
+    p.add_argument("--log_dir", default=None, type=str)
     opt = p.parse_args(argv)
     print(opt)
     force_platform(opt.platform)
     seed_all(opt.seed)
+    from vsrcic_tpu.utils.observability import MetricLogger
+    mlog = MetricLogger(opt.log_dir)
 
     import jax
     from vsrcic_tpu.core.checkpoint import save_checkpoint
@@ -78,6 +81,7 @@ def main(argv=None):
             inputs, tr_locs, gt_locs = pairs
             loss = trainer.step(inputs, tr_locs, gt_locs, n_images=n_images)
             running += loss
+            mlog.add_scalar('train_loss', loss, step)
             n_it += 1
             step += 1
             if opt.max_steps and step >= opt.max_steps:
