@@ -46,15 +46,19 @@ full = CaptionerConfig(seq_len=20, vocab_size=10000, bos_idx=2,
                        det_feat_size=2048, input_encoding_size=1000,
                        rnn_size=1000, att_size=512)
 
-bench_one("full", full, 256, 5)
-bench_one("full batch=512", full, 512, 5)
-bench_one("vocab=512", CaptionerConfig(**{**full.__dict__, "vocab_size": 512}),
-          256, 5)
-bench_one("rnn=256", CaptionerConfig(**{**full.__dict__, "rnn_size": 256,
-                                        "input_encoding_size": 256}), 256, 5)
-bench_one("det_feat=512", CaptionerConfig(**{**full.__dict__,
-                                             "det_feat_size": 512}), 256, 5)
-bench_one("M=1 groups", full, 256, 5, M=1)
-bench_one("beam=1", full, 256, 1)
-bench_one("seq_len=10",
-          CaptionerConfig(**{**full.__dict__, "seq_len": 10}), 256, 5)
+
+if __name__ == "__main__":
+    bench_one("full", full, 256, 5)
+    bench_one("full batch=512", full, 512, 5)
+    bench_one("vocab=512",
+              CaptionerConfig(**{**full.__dict__, "vocab_size": 512}), 256, 5)
+    bench_one("rnn=256", CaptionerConfig(**{**full.__dict__, "rnn_size": 256,
+                                            "input_encoding_size": 256}),
+              256, 5)
+    bench_one("det_feat=512",
+              CaptionerConfig(**{**full.__dict__, "det_feat_size": 512}),
+              256, 5)
+    bench_one("M=1 groups", full, 256, 5, M=1)
+    bench_one("beam=1", full, 256, 1)
+    bench_one("seq_len=10",
+              CaptionerConfig(**{**full.__dict__, "seq_len": 10}), 256, 5)

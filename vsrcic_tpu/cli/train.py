@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--patience", default=5, type=int)
     p.add_argument("--log_dir", default=None, type=str)
     opt = p.parse_args(argv)
+    if opt.dataset != "coco":
+        # the reference ships no Flickr captioner-training script either
+        # (SURVEY.md S7) — its flickr captioner checkpoint is pretrained
+        p.error("captioner training supports --dataset coco (as upstream); "
+                "the flickr captioner checkpoint is imported, not trained")
     print(opt)
     force_platform(opt.platform)
     seed_all(opt.seed)
@@ -61,8 +66,10 @@ def main(argv=None):
     val_ds = PairedDataset(val_ex, {"image": image_field,
                                     "detection": det_field,
                                     "text": RawField()})
-    loader_train = DataLoader(train_ds, batch_size=opt.batch_size,
-                              shuffle=not opt.sample_rl, seed=opt.seed)
+    from vsrcic_tpu.data import PrefetchLoader
+    loader_train = PrefetchLoader(
+        DataLoader(train_ds, batch_size=opt.batch_size,
+                   shuffle=not opt.sample_rl, seed=opt.seed), depth=2)
     loader_val = DataLoader(val_ds, batch_size=min(16, opt.batch_size))
 
     cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),
@@ -74,12 +81,22 @@ def main(argv=None):
 
     ckpt = CheckpointManager(opt.checkpoint_path + "/coco_cap",
                              opt.exp_name + ("_rl" if opt.sample_rl else ""))
-    restored = ckpt.restore(best=opt.sample_rl) if (opt.sample_rl
-                                                    or opt.start_from) else None
+    restored = None
+    if opt.sample_rl:
+        # RL warm-starts from the XE best checkpoint (ref train.py:85-90)
+        xe_ckpt = CheckpointManager(opt.checkpoint_path + "/coco_cap",
+                                    opt.exp_name)
+        restored = xe_ckpt.restore(best=True)
+        if restored is not None:
+            print("restored XE best (val CIDEr %.3f)"
+                  % xe_ckpt.meta.get("best_metric", float("nan")))
+    elif opt.start_from:
+        restored = ckpt.restore(best=opt.load_best)
+        if restored is not None:
+            print("restored checkpoint (best_metric=%.3f)"
+                  % ckpt.meta.get("best_metric", float("nan")))
     if restored is not None:
         params = restored["params"]
-        print("restored checkpoint (best_metric=%.3f)"
-              % ckpt.meta.get("best_metric", float("nan")))
 
     if opt.sample_rl:
         ref_caps = [e.text for e in train_ex]
