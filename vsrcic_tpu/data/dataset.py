@@ -422,7 +422,7 @@ class FlickrEntities(PairedDataset):
         id_counter = 1
         for obj in xml_root.findall("object"):
             obj_names = [o.text for o in obj.findall("name")]
-            if obj.find("bndbox"):
+            if obj.find("bndbox") is not None:
                 bbox = tuple(int(o.text) for o in obj.find("bndbox"))
                 for obj_name in obj_names:
                     if obj_name not in det_dict:
