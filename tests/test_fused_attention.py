@@ -1,0 +1,90 @@
+"""Fused gather+attention Pallas kernel vs the XLA reference math
+(interpret mode — compiled-TPU equality is covered by the on-device check
+recorded in docs/ENGINEERING_NOTES.md)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vsrcic_tpu.ops.fused_attention import make_fused_group_attention
+
+B, L, M, D, A, K = 3, 4, 8, 32, 16, 2
+ROWS = B * K
+
+
+def _xla_reference(det_groups, groups_proj, item, ctrl, ha, sent_w,
+                   sent_mask, fc_sent, att_a):
+    det = det_groups[item, ctrl]
+    proj = groups_proj[item, ctrl]
+    mask = (det.sum(-1) != 0).astype(np.float32)
+    det_w = np.tanh(proj + ha[:, None, :]) @ att_a
+    logits = np.concatenate([sent_w, det_w], 1)
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    att = e / e.sum(1, keepdims=True)
+    att = att * np.concatenate([sent_mask, mask], 1)
+    att = att / att.sum(1, keepdims=True)
+    out = att[:, :1] * fc_sent + np.einsum("rm,rmd->rd", att[:, 1:], det)
+    return out, (mask * det_w).sum(1, keepdims=True)
+
+
+def test_fused_attention_matches_xla_math():
+    rng = np.random.RandomState(0)
+    det_groups = rng.rand(B, L, M, D).astype(np.float32)
+    det_groups[:, :, 5:] = 0.0  # padded regions
+    groups_proj = rng.randn(B, L, M, A).astype(np.float32)
+    item = (np.arange(ROWS) // K).astype(np.int32)
+    ctrl = rng.randint(0, L, ROWS).astype(np.int32)
+    ha = rng.randn(ROWS, A).astype(np.float32)
+    sent_w = rng.randn(ROWS, 1).astype(np.float32)
+    sent_mask = np.ones((ROWS, 1), np.float32)
+    fc_sent = rng.randn(ROWS, D).astype(np.float32)
+    att_a = rng.randn(A).astype(np.float32)
+
+    want_att, want_gsum = _xla_reference(
+        det_groups, groups_proj, item, ctrl, ha, sent_w, sent_mask, fc_sent,
+        att_a)
+
+    fn = make_fused_group_attention(B, L, M, D, A, ROWS, rows_per_block=2,
+                                    interpret=True)
+    got_att, got_gsum = fn(jnp.asarray(item), jnp.asarray(ctrl),
+                           jnp.asarray(ha), jnp.asarray(sent_w),
+                           jnp.asarray(sent_mask), jnp.asarray(fc_sent),
+                           jnp.asarray(att_a), jnp.asarray(det_groups),
+                           jnp.asarray(groups_proj))
+    np.testing.assert_allclose(np.asarray(got_att), want_att,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gsum), want_gsum,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_beam_equivalence_interpret():
+    """Full beam_search_v with the fused kernel == the XLA gather path."""
+    from vsrcic_tpu.models.api import ControllableCaptioner
+    from vsrcic_tpu.models.captioner import CaptionerConfig
+
+    cfg = CaptionerConfig(seq_len=6, vocab_size=40, bos_idx=2,
+                          det_feat_size=D, input_encoding_size=12,
+                          rnn_size=10, att_size=A)
+    tbl = {"1": [5, 6]}
+    capA = ControllableCaptioner(cfg, key=jax.random.PRNGKey(0),
+                                 verb_2_vob_all=tbl)
+    capB = ControllableCaptioner(cfg, params=capA.params, verb_2_vob_all=tbl,
+                                 use_fused_attention=True)
+    # interpret-mode kernels for CPU tests
+    from vsrcic_tpu.ops.fused_attention import make_fused_group_attention
+
+    def fused_interp(b, l, m, d, beam):
+        fn = make_fused_group_attention(b, l, m, d, cfg.att_size,
+                                        rows=b * beam, rows_per_block=2,
+                                        interpret=True)
+        return fn
+    capB._fused_fn = fused_interp
+
+    rng = np.random.RandomState(1)
+    dets = jnp.asarray(rng.rand(B, 6, D).astype(np.float32))
+    groups = jnp.asarray(rng.rand(B, L, M, D).astype(np.float32))
+    vl = jnp.asarray(np.where(rng.rand(B, L) < 0.3,
+                              1, -1).astype(np.int32))
+    ra = capA.beam_search_v(dets, groups, vl, eos_word=3, beam_size=K)
+    rb = capB.beam_search_v(dets, groups, vl, eos_word=3, beam_size=K)
+    np.testing.assert_array_equal(np.asarray(ra.words), np.asarray(rb.words))
+    np.testing.assert_array_equal(np.asarray(ra.gates), np.asarray(rb.gates))
