@@ -1,0 +1,71 @@
+"""Distributed correctness on the 8-device CPU mesh (conftest forces it).
+
+- sharded beam decode == single-device decode (token-exact)
+- data-parallel XE training step == single-device step (loss + params match)
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vsrcic_tpu.models.api import ControllableCaptioner
+from vsrcic_tpu.models.captioner import CaptionerConfig, init_captioner_params
+from vsrcic_tpu.parallel import (make_mesh, replicate, shard_batch,
+                                 sharded_beam_search_v)
+from vsrcic_tpu.train import CaptionerXETrainer
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+B, L, M, D = 8, 4, 3, 16
+
+
+def test_sharded_beam_matches_single():
+    cfg = CaptionerConfig(seq_len=6, vocab_size=40, bos_idx=2,
+                          det_feat_size=D, input_encoding_size=12,
+                          rnn_size=10, att_size=8)
+    cap = ControllableCaptioner(cfg, key=jax.random.PRNGKey(0),
+                                verb_2_vob_all={"1": [5, 6]})
+    rng = np.random.RandomState(0)
+    dets = rng.rand(B, 6, D).astype(np.float32)
+    groups = rng.rand(B, L, M, D).astype(np.float32)
+    vl = np.where(rng.rand(B, L) < 0.3, 1, -1).astype(np.int32)
+
+    single = cap.beam_search_v(dets, groups, vl, eos_word=3, beam_size=3)
+    mesh = make_mesh(n_data=8)
+    sharded = sharded_beam_search_v(cap, mesh, dets, groups, vl,
+                                    eos_word=3, beam_size=3)
+    np.testing.assert_array_equal(np.asarray(single.words),
+                                  np.asarray(sharded.words))
+    np.testing.assert_array_equal(np.asarray(single.gates),
+                                  np.asarray(sharded.gates))
+
+
+def test_data_parallel_training_matches_single():
+    cfg = CaptionerConfig(seq_len=6, vocab_size=30, bos_idx=2,
+                          det_feat_size=D, input_encoding_size=12,
+                          rnn_size=10, att_size=8)
+    params = init_captioner_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    batch = (rng.rand(B, 5, D).astype(np.float32),
+             rng.randint(0, 30, size=(B, 6)).astype(np.int32),
+             rng.rand(B, 6, M, D).astype(np.float32),
+             rng.randint(0, 2, size=(B, 6)).astype(np.int32))
+
+    tr1 = CaptionerXETrainer(cfg, params, lr=1e-3)
+    losses1 = [tr1.step(*batch)[0] for _ in range(3)]
+
+    mesh = make_mesh(n_data=8)
+    tr8 = CaptionerXETrainer(cfg, replicate(params, mesh), lr=1e-3,
+                             mesh=mesh)
+    sb = shard_batch(batch, mesh)
+    losses8 = [tr8.step(*sb)[0] for _ in range(3)]
+
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-5)
+    # final params equal across the replicated/unsharded runs
+    p1 = jax.tree.leaves(tr1.state.params)
+    p8 = jax.tree.leaves(tr8.state.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
