@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--captioner_ckpt", default=None, type=str)
     p.add_argument("--ssp_ckpt", default=None, type=str)
     p.add_argument("--sinkhorn_ckpt", default=None, type=str)
+    p.add_argument("--fused", action="store_true",
+                   help="use the fused Pallas attention kernel (TPU)")
+    p.add_argument("--bf16_tables", action="store_true",
+                   help="store beam statics tables in bf16 (TPU fast path)")
     opt = p.parse_args(argv)
     print(opt)
     force_platform(opt.platform)
@@ -78,9 +82,12 @@ def main(argv=None):
             cap_params = import_torch_state_dict(opt.captioner_ckpt)
         else:
             cap_params = restore_checkpoint(opt.captioner_ckpt)["params"]
-    captioner = ControllableCaptioner(cfg, params=cap_params,
-                                      key=jax.random.PRNGKey(opt.seed),
-                                      verb_2_vob_all=world.verb_2_vob_all)
+    import jax.numpy as jnp
+    captioner = ControllableCaptioner(
+        cfg, params=cap_params, key=jax.random.PRNGKey(opt.seed),
+        verb_2_vob_all=world.verb_2_vob_all,
+        use_fused_attention=opt.fused,
+        table_dtype=jnp.bfloat16 if opt.bf16_tables else None)
 
     ssp_cfg = SSPConfig(dataset=opt.dataset)
     if opt.ssp_ckpt:
