@@ -93,7 +93,7 @@ def _feedback_scan(step_fn, cfg: CaptionerConfig, batch: int, seq_len: int,
 
 
 def greedy_decode(params, cfg: CaptionerConfig, statics: Statics,
-                  seq_len: Optional[int] = None):
+                  seq_len: Optional[int] = None, fused_fn=None):
     """Greedy feedback decode (ref CaptioningModel.test :38-52).
 
     Returns (words (B, T), gates (B, T)).
@@ -103,7 +103,8 @@ def greedy_decode(params, cfg: CaptionerConfig, statics: Statics,
 
     def step_fn(state, prev_word, prev_gate, t0):
         return captioner_step(params, cfg, state, statics,
-                              prev_word=prev_word, prev_gate=prev_gate, t0=t0)
+                              prev_word=prev_word, prev_gate=prev_gate,
+                              t0=t0, fused_fn=fused_fn)
 
     def body(carry, _):
         state, prev_word, prev_gate, t = carry
@@ -156,7 +157,7 @@ def forced_feedback_logprobs(params, cfg: CaptionerConfig, statics: Statics,
 
 
 def sample_decode(params, cfg: CaptionerConfig, statics: Statics, key,
-                  seq_len: Optional[int] = None):
+                  seq_len: Optional[int] = None, fused_fn=None):
     """Ancestral sampling with per-step logprobs (ref sample_rl :54-76).
 
     Returns ((words, gates), (word_logps, gate_logps)) each (B, T).
@@ -170,7 +171,8 @@ def sample_decode(params, cfg: CaptionerConfig, statics: Statics, key,
         state, prev_word, prev_gate, t = carry
         step = lambda t0: captioner_step(params, cfg, state, statics,
                                          prev_word=prev_word,
-                                         prev_gate=prev_gate, t0=t0)
+                                         prev_gate=prev_gate, t0=t0,
+                                         fused_fn=fused_fn)
         (w_logp, g_logp), new_state = jax.lax.cond(
             t == 0, lambda _: step(True), lambda _: step(False), None)
         kw, kg = jax.random.split(key_t)

@@ -73,12 +73,12 @@ class ControllableCaptioner:
 
     # -- impls ---------------------------------------------------------------
     def _greedy_impl(self, params, detections, det_groups):
-        statics = precompute_statics(params, self.cfg, detections, det_groups)
-        return greedy_decode(params, self.cfg, statics)
+        statics, fused = self._fused_statics(params, detections, det_groups)
+        return greedy_decode(params, self.cfg, statics, fused_fn=fused)
 
     def _sample_impl(self, params, detections, det_groups, rng):
-        statics = precompute_statics(params, self.cfg, detections, det_groups)
-        return sample_decode(params, self.cfg, statics, rng)
+        statics, fused = self._fused_statics(params, detections, det_groups)
+        return sample_decode(params, self.cfg, statics, rng, fused_fn=fused)
 
     def _expand(self, a, k):
         return jnp.repeat(a, k, axis=0)
@@ -93,38 +93,49 @@ class ControllableCaptioner:
         if key not in self._fused_cache:
             from vsrcic_tpu.ops.fused_attention import \
                 make_fused_group_attention
+            rows = b * beam
+            rpb = next(r for r in (8, 4, 2, 1) if rows % r == 0)
             self._fused_cache[key] = make_fused_group_attention(
-                b, l, m, d, self.cfg.att_size, rows=b * beam,
+                b, l, m, d, self.cfg.att_size, rows=rows,
+                rows_per_block=rpb,
                 table_dtype=self.table_dtype or self.decode_dtype
                 or jnp.float32)
         return self._fused_cache[key]
+
+    def _fused_statics(self, params, detections, det_groups, verb_list=None,
+                       beam=1):
+        """Statics + fused kernel for feedback decodes (shared by greedy/
+        sample/beam paths); returns (statics, fused_fn-or-None)."""
+        statics = precompute_statics(params, self.cfg,
+                                     self._cast(detections),
+                                     self._cast(det_groups),
+                                     verb_list=verb_list)
+        if not self.use_fused_attention:
+            return statics, None
+        fused = self._fused_fn(detections.shape[0], det_groups.shape[1],
+                               det_groups.shape[2], det_groups.shape[3],
+                               beam)
+        from vsrcic_tpu.models.captioner import Statics
+        tdt = (self.table_dtype or self.decode_dtype
+               or statics.det_groups.dtype)
+        groups = statics.det_groups.astype(tdt)
+        proj = statics.det_groups_proj.astype(tdt)
+        if groups.shape[2] != fused.m_pad:
+            pad = [(0, 0), (0, 0), (0, fused.m_pad - groups.shape[2]),
+                   (0, 0)]
+            groups = jnp.pad(groups, pad)
+            proj = jnp.pad(proj, pad)
+        statics = Statics(statics.image_descriptor, groups, proj,
+                          statics.det_groups_mask, statics.verb_list)
+        return statics, fused
 
     def _beam_v_impl(self, params, detections, det_groups, verb_list,
                      beam_size, eos_word, gt):
         # statics stay UNEXPANDED (per item); the steps gather per beam row
         b = detections.shape[0]
-        statics = precompute_statics(
-            params, self.cfg, self._cast(detections),
-            self._cast(det_groups), verb_list=verb_list)
-        fused = (self._fused_fn(b, det_groups.shape[1], det_groups.shape[2],
-                                det_groups.shape[3], beam_size)
-                 if self.use_fused_attention else None)
-        if fused is not None:
-            # pad the M axis once for the kernel's DMA tiling alignment and
-            # store both tables in the kernel's table dtype (proj promotes to
-            # f32 through att_va even when groups are cast)
-            from vsrcic_tpu.models.captioner import Statics
-            tdt = (self.table_dtype or self.decode_dtype
-                   or statics.det_groups.dtype)
-            groups = statics.det_groups.astype(tdt)
-            proj = statics.det_groups_proj.astype(tdt)
-            if groups.shape[2] != fused.m_pad:
-                pad = [(0, 0), (0, 0),
-                       (0, fused.m_pad - groups.shape[2]), (0, 0)]
-                groups = jnp.pad(groups, pad)
-                proj = jnp.pad(proj, pad)
-            statics = Statics(statics.image_descriptor, groups, proj,
-                              statics.det_groups_mask, statics.verb_list)
+        statics, fused = self._fused_statics(params, detections, det_groups,
+                                             verb_list=verb_list,
+                                             beam=beam_size)
 
         def step_fn(state, pw, pg, t0):
             return captioner_step_v(params, self.cfg, state, statics,
@@ -138,14 +149,13 @@ class ControllableCaptioner:
 
     def _beam_impl(self, params, detections, det_groups, beam_size, eos_word):
         b = detections.shape[0]
-        statics = precompute_statics(
-            params, self.cfg, self._cast(detections),
-            self._cast(det_groups))
+        statics, fused = self._fused_statics(params, detections, det_groups,
+                                             beam=beam_size)
 
         def step_fn(state, pw, pg, t0):
             return captioner_step(params, self.cfg, state, statics,
                                   prev_word=pw, prev_gate=pg, t0=t0,
-                                  beam=beam_size)
+                                  beam=beam_size, fused_fn=fused)
 
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,

@@ -280,12 +280,14 @@ def _per_row(statics: Statics, beam: int, rows: int):
 
 def captioner_step(params, cfg: CaptionerConfig, state: CaptionerState,
                    statics: Statics, it=None, det_curr=None,
-                   prev_word=None, prev_gate=None, t0=False, beam: int = 1):
+                   prev_word=None, prev_gate=None, t0=False, beam: int = 1,
+                   fused_fn=None):
     """One decode step.
 
     Teacher forcing: pass `it` (B,) and `det_curr` (B, M, D).
     Feedback: pass prev_word/prev_gate (ignored at t0 where BOS is fed); the
-    ctrl pointer advances by prev_gate and the group is gathered from statics.
+    ctrl pointer advances by prev_gate and the group is gathered from statics
+    (or attended in the fused Pallas kernel when fused_fn is given).
     `beam` > 1: decode rows are beam-expanded over unexpanded statics.
     """
     if it is not None and det_curr is not None:  # teacher forcing
@@ -302,6 +304,13 @@ def captioner_step(params, cfg: CaptionerConfig, state: CaptionerState,
             it = prev_word
             ctrl = jnp.clip(state.ctrl_det_idx + prev_gate, 0,
                             statics.det_groups.shape[1] - 1)
+        if fused_fn is not None:
+            image_descriptor, _ = _per_row(statics, beam, b)
+            (word_logp, gate_logp), (h1, c1, h2, c2) = _step_core_fused(
+                params, cfg, state, it, statics, ctrl, beam, fused_fn,
+                image_descriptor)
+            return ((word_logp, gate_logp),
+                    CaptionerState(h1, c1, h2, c2, ctrl))
         det_curr, det_proj, det_mask = _gather_group(statics, ctrl, beam)
         image_descriptor, _ = _per_row(statics, beam, b)
 
