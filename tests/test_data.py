@@ -127,3 +127,16 @@ def test_packed_store_roundtrip(tmp_path, syn):
     np.testing.assert_allclose(got.boxes, rec.boxes, rtol=1e-6)
     hstore = HDF5FeatureStore(str(h5))
     np.testing.assert_allclose(hstore.get(100000).features, rec.features)
+
+
+def test_dataloader_num_workers_same_batches(syn):
+    """Thread-pool preprocessing yields identical batches."""
+    image_field = ImageDetectionsField(syn.store, max_detections=20)
+    train, _, _ = syn.sample_splits
+    ds = PairedDataset(train, {"image": image_field, "text": RawField()})
+    b0 = list(DataLoader(ds, batch_size=3))
+    b4 = list(DataLoader(ds, batch_size=3, num_workers=4))
+    assert len(b0) == len(b4)
+    for (a_img, a_txt), (b_img, b_txt) in zip(b0, b4):
+        np.testing.assert_array_equal(a_img[0], b_img[0])
+        assert list(a_txt) == list(b_txt)

@@ -70,7 +70,8 @@ def main(argv=None):
     ds = DictionaryDataset(test_ex, {"image": image_field,
                                      "detection": det_field,
                                      "text": RawField()}, "image")
-    loader = DataLoader(ds, batch_size=opt.batch_size)
+    loader = DataLoader(ds, batch_size=opt.batch_size,
+                        num_workers=opt.nb_workers)
 
     # models
     cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),

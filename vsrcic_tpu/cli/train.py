@@ -69,7 +69,8 @@ def main(argv=None):
     from vsrcic_tpu.data import PrefetchLoader
     loader_train = PrefetchLoader(
         DataLoader(train_ds, batch_size=opt.batch_size,
-                   shuffle=not opt.sample_rl, seed=opt.seed), depth=2)
+                   shuffle=not opt.sample_rl, seed=opt.seed,
+                   num_workers=opt.nb_workers), depth=2)
     loader_val = DataLoader(val_ds, batch_size=min(16, opt.batch_size))
 
     cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),

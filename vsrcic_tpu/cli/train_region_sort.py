@@ -43,7 +43,8 @@ def main(argv=None):
     ds = DictionaryDataset(train_ex, {"image": image_field,
                                       "detection": det_field,
                                       "text": RawField()}, "image")
-    loader = DataLoader(ds, batch_size=opt.batch_size)
+    loader = DataLoader(ds, batch_size=opt.batch_size,
+                        num_workers=opt.nb_workers)
 
     cfg = SSPConfig(dataset=opt.dataset)
     params = init_ssp_params(jax.random.PRNGKey(opt.seed), cfg)

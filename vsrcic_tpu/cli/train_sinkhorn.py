@@ -46,7 +46,8 @@ def main(argv=None):
     ds = DictionaryDataset(train_ex, {"image": image_field,
                                       "detection": det_field,
                                       "text": RawField()}, "image")
-    loader = DataLoader(ds, batch_size=opt.batch_size)
+    loader = DataLoader(ds, batch_size=opt.batch_size,
+                        num_workers=opt.nb_workers)
 
     cfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1)
     params = init_sinkhorn_params(jax.random.PRNGKey(opt.seed), cfg)

@@ -124,12 +124,13 @@ def dict_collate(items: List[Tuple[Any, Dict[str, List[Any]]]]):
 
 
 class DataLoader:
-    """Minimal batching loader (shuffle, drop_last=False).
+    """Batching loader (shuffle, drop_last=False).
 
-    Worker parallelism is provided by `vsrcic_tpu.data.loader.PrefetchLoader`
-    (thread/process prefetch feeding device batches); this class keeps the
-    simple single-process semantics of the reference's default
-    `--nb_workers 0` path.
+    `num_workers > 0` preprocesses the batch's examples on a thread pool —
+    the fields are pure numpy/h5py functions that release the GIL on I/O, so
+    threads parallelize the reference's worker-process role without pickling.
+    Combine with `vsrcic_tpu.data.loader.PrefetchLoader` to overlap whole
+    batches with device compute.
     """
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
@@ -138,11 +139,16 @@ class DataLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.num_workers = num_workers
         self.rng = np.random.RandomState(seed)
         if collate_fn is None:
             collate_fn = (dict_collate if isinstance(dataset, DictionaryDataset)
                           else default_collate)
         self.collate_fn = collate_fn
+        self._pool = None
+        if num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -152,8 +158,12 @@ class DataLoader:
         if self.shuffle:
             self.rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
-            idxs = order[start:start + self.batch_size]
-            yield self.collate_fn([self.dataset[int(i)] for i in idxs])
+            idxs = [int(i) for i in order[start:start + self.batch_size]]
+            if self._pool is not None:
+                items = list(self._pool.map(self.dataset.__getitem__, idxs))
+            else:
+                items = [self.dataset[i] for i in idxs]
+            yield self.collate_fn(items)
 
 
 # ---------------------------------------------------------------------------
