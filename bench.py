@@ -15,7 +15,6 @@ control shapes (10 region groups x 20 regions).
 import json
 import time
 
-import numpy as np
 
 BASELINE_PER_CHIP = 1250.0
 

@@ -10,9 +10,6 @@ Field choices mirror the reference scripts exactly:
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
-
-import numpy as np
 
 
 def make_image_field(world, opt):

@@ -6,7 +6,6 @@ equivalent with matched flags, on the TPU-native trainers.
 """
 from __future__ import annotations
 
-import sys
 import time
 
 import numpy as np

@@ -13,10 +13,9 @@ import json
 import os
 import pickle
 import re
-import warnings
 import xml.etree.ElementTree
 from itertools import groupby
-from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

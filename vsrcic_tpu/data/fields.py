@@ -25,13 +25,11 @@ from __future__ import annotations
 import json
 import pickle
 import random
-import warnings
 from itertools import groupby
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 
-from vsrcic_tpu.data.store import DetRecord
 
 # ref data/field.py:187-189
 SR_2_IDX = {"ARG0": 1, "ARG1": 2, "ARG2": 3, "ARG3": 4, "ARG4": 5, "ARG5": 6,

@@ -13,7 +13,6 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from vsrcic_tpu.data.store import DetRecord
 
 
 class NEWDataset:

@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Callable, Iterable, Iterator, Optional
+from typing import Any, Callable, Iterable, Iterator
 
-from vsrcic_tpu.data.dataset import DataLoader
 
 
 class PrefetchLoader:

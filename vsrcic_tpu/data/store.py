@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 import warnings
-from typing import NamedTuple, Optional, Union
+from typing import NamedTuple, Union
 
 import numpy as np
 

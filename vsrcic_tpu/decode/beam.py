@@ -23,7 +23,7 @@ the same engine drives `step` and the verb-substituting `step_v`.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -6,16 +6,14 @@ whole sequence compiles to a single XLA while-op with device-resident state.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from vsrcic_tpu.core import nn
 from vsrcic_tpu.models.captioner import (
-    CaptionerConfig, CaptionerState, Statics, VerbTenseTable,
-    captioner_step, captioner_step_v, init_state, precompute_statics,
+    CaptionerConfig, CaptionerState, Statics, captioner_step, init_state,
+    precompute_statics,
 )
 
 
@@ -76,20 +74,6 @@ def forward_teacher_forcing(params, cfg: CaptionerConfig, detections,
 
     _, (word_logp, gate_logp) = jax.lax.scan(body, init_state(cfg, b), xs)
     return jnp.moveaxis(word_logp, 0, 1), jnp.moveaxis(gate_logp, 0, 1)
-
-
-def _feedback_scan(step_fn, cfg: CaptionerConfig, batch: int, seq_len: int,
-                   select_fn):
-    """Shared feedback-mode scan. select_fn maps (key, word_logp, gate_logp) ->
-    (word, gate, extras...) chosen outputs fed back next step."""
-
-    def body(carry, key_t):
-        state, prev_word, prev_gate, t = carry
-        (w_logp, g_logp), state = step_fn(state, prev_word, prev_gate, t == 0)
-        word, gate, *extras = select_fn(key_t, w_logp, g_logp)
-        return (state, word, gate, t + 1), (word, gate, *extras)
-
-    return body
 
 
 def greedy_decode(params, cfg: CaptionerConfig, statics: Statics,

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vsrcic_tpu.core import nn
 from vsrcic_tpu.decode.beam import BeamResult, beam_search_joint
 from vsrcic_tpu.decode.loops import (
     forward_teacher_forcing, greedy_decode, sample_decode)

@@ -16,7 +16,7 @@ ties as in `masked_select`), no host round trips, any batch size.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ package per example inside the eval loop (reference eval_coco.py:188-199:
 """
 from __future__ import annotations
 
-from typing import List
 
 import numpy as np
 

@@ -9,7 +9,7 @@ from sharding annotations — no hand-written NCCL-style code.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ the fill-tail-with-last-group recons layout, ref eval_coco.py:222-237).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

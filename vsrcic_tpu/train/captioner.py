@@ -16,8 +16,7 @@ provided (GSPMD inserts the gradient psum).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

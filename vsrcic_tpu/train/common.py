@@ -1,9 +1,8 @@
 """Shared training machinery: optimizers, schedules, train state."""
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -12,7 +12,6 @@ a batch run as ONE batched device call.
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +19,7 @@ import numpy as np
 
 from vsrcic_tpu.models.s_ssp import SSPConfig, ssp_forward_loss
 from vsrcic_tpu.models.sinkhorn import SinkhornConfig, sinkhorn_net_apply
-from vsrcic_tpu.pipelines.sr_groups import VerbGroup, extract_verb_groups
+from vsrcic_tpu.pipelines.sr_groups import extract_verb_groups
 from vsrcic_tpu.train.common import (
     TrainState, adam, apply_grads, init_train_state, set_learning_rate)
 
