@@ -88,3 +88,35 @@ def test_fused_attention_beam_equivalence_interpret():
     rb = capB.beam_search_v(dets, groups, vl, eos_word=3, beam_size=K)
     np.testing.assert_array_equal(np.asarray(ra.words), np.asarray(rb.words))
     np.testing.assert_array_equal(np.asarray(ra.gates), np.asarray(rb.gates))
+
+
+def test_fused_step_weights_equivalence():
+    """derive_fused_step_weights reproduces the separate projections."""
+    from vsrcic_tpu.models.captioner import (
+        CaptionerConfig, _fused_input1_block, derive_fused_step_weights,
+        init_captioner_params)
+    from vsrcic_tpu.core import nn as cnn
+    cfg = CaptionerConfig(seq_len=4, vocab_size=20, bos_idx=2,
+                          det_feat_size=16, input_encoding_size=8,
+                          rnn_size=6, att_size=4)
+    params = init_captioner_params(jax.random.PRNGKey(0), cfg)
+    fw = derive_fused_step_weights(params)
+    rng = np.random.RandomState(0)
+    in1 = cfg.det_feat_size + cfg.rnn_size + cfg.input_encoding_size
+    x = jnp.asarray(rng.randn(5, in1).astype(np.float32))
+    h = jnp.asarray(rng.randn(5, cfg.rnn_size).astype(np.float32))
+    c = jnp.asarray(rng.randn(5, cfg.rnn_size).astype(np.float32))
+    s_gate, g_pre_x, h1, c1 = _fused_input1_block(fw, x, h, c, cfg.rnn_size)
+
+    want_s = jax.nn.sigmoid(cnn.linear(params["W1_is"], x)
+                            + cnn.linear(params["W1_hs"], h))
+    want_gx = cnn.linear(params["W1_ig"], x)
+    want_h1, want_c1 = cnn.lstm_cell(params["lstm_cell_1"], x, (h, c))
+    np.testing.assert_allclose(np.asarray(s_gate), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_pre_x), np.asarray(want_gx),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(want_h1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(want_c1),
+                               rtol=1e-5, atol=1e-6)

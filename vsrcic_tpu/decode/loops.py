@@ -77,7 +77,7 @@ def forward_teacher_forcing(params, cfg: CaptionerConfig, detections,
 
 
 def greedy_decode(params, cfg: CaptionerConfig, statics: Statics,
-                  seq_len: Optional[int] = None, fused_fn=None):
+                  seq_len: Optional[int] = None, fused_fn=None, fused_w=None):
     """Greedy feedback decode (ref CaptioningModel.test :38-52).
 
     Returns (words (B, T), gates (B, T)).
@@ -88,7 +88,7 @@ def greedy_decode(params, cfg: CaptionerConfig, statics: Statics,
     def step_fn(state, prev_word, prev_gate, t0):
         return captioner_step(params, cfg, state, statics,
                               prev_word=prev_word, prev_gate=prev_gate,
-                              t0=t0, fused_fn=fused_fn)
+                              t0=t0, fused_fn=fused_fn, fused_w=fused_w)
 
     def body(carry, _):
         state, prev_word, prev_gate, t = carry
@@ -141,7 +141,7 @@ def forced_feedback_logprobs(params, cfg: CaptionerConfig, statics: Statics,
 
 
 def sample_decode(params, cfg: CaptionerConfig, statics: Statics, key,
-                  seq_len: Optional[int] = None, fused_fn=None):
+                  seq_len: Optional[int] = None, fused_fn=None, fused_w=None):
     """Ancestral sampling with per-step logprobs (ref sample_rl :54-76).
 
     Returns ((words, gates), (word_logps, gate_logps)) each (B, T).
@@ -156,7 +156,7 @@ def sample_decode(params, cfg: CaptionerConfig, statics: Statics, key,
         step = lambda t0: captioner_step(params, cfg, state, statics,
                                          prev_word=prev_word,
                                          prev_gate=prev_gate, t0=t0,
-                                         fused_fn=fused_fn)
+                                         fused_fn=fused_fn, fused_w=fused_w)
         (w_logp, g_logp), new_state = jax.lax.cond(
             t == 0, lambda _: step(True), lambda _: step(False), None)
         kw, kg = jax.random.split(key_t)

@@ -72,12 +72,16 @@ class ControllableCaptioner:
 
     # -- impls ---------------------------------------------------------------
     def _greedy_impl(self, params, detections, det_groups):
-        statics, fused = self._fused_statics(params, detections, det_groups)
-        return greedy_decode(params, self.cfg, statics, fused_fn=fused)
+        statics, fused, fw = self._fused_statics(params, detections,
+                                                 det_groups)
+        return greedy_decode(params, self.cfg, statics, fused_fn=fused,
+                             fused_w=fw)
 
     def _sample_impl(self, params, detections, det_groups, rng):
-        statics, fused = self._fused_statics(params, detections, det_groups)
-        return sample_decode(params, self.cfg, statics, rng, fused_fn=fused)
+        statics, fused, fw = self._fused_statics(params, detections,
+                                                 det_groups)
+        return sample_decode(params, self.cfg, statics, rng, fused_fn=fused,
+                             fused_w=fw)
 
     def _expand(self, a, k):
         return jnp.repeat(a, k, axis=0)
@@ -110,7 +114,7 @@ class ControllableCaptioner:
                                      self._cast(det_groups),
                                      verb_list=verb_list)
         if not self.use_fused_attention:
-            return statics, None
+            return statics, None, None
         fused = self._fused_fn(detections.shape[0], det_groups.shape[1],
                                det_groups.shape[2], det_groups.shape[3],
                                beam)
@@ -126,21 +130,24 @@ class ControllableCaptioner:
             proj = jnp.pad(proj, pad)
         statics = Statics(statics.image_descriptor, groups, proj,
                           statics.det_groups_mask, statics.verb_list)
-        return statics, fused
+        from vsrcic_tpu.models.captioner import derive_fused_step_weights
+        return statics, fused, derive_fused_step_weights(params)
 
     def _beam_v_impl(self, params, detections, det_groups, verb_list,
                      beam_size, eos_word, gt):
         # statics stay UNEXPANDED (per item); the steps gather per beam row
         b = detections.shape[0]
-        statics, fused = self._fused_statics(params, detections, det_groups,
-                                             verb_list=verb_list,
-                                             beam=beam_size)
+        statics, fused, fw = self._fused_statics(params, detections,
+                                                 det_groups,
+                                                 verb_list=verb_list,
+                                                 beam=beam_size)
 
         def step_fn(state, pw, pg, t0):
             return captioner_step_v(params, self.cfg, state, statics,
                                     self.tense_table, prev_word=pw,
                                     prev_gate=pg, t0=t0, gt=gt,
-                                    beam=beam_size, fused_fn=fused)
+                                    beam=beam_size, fused_fn=fused,
+                                    fused_w=fw)
 
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,
@@ -148,13 +155,13 @@ class ControllableCaptioner:
 
     def _beam_impl(self, params, detections, det_groups, beam_size, eos_word):
         b = detections.shape[0]
-        statics, fused = self._fused_statics(params, detections, det_groups,
-                                             beam=beam_size)
+        statics, fused, fw = self._fused_statics(params, detections,
+                                                 det_groups, beam=beam_size)
 
         def step_fn(state, pw, pg, t0):
             return captioner_step(params, self.cfg, state, statics,
                                   prev_word=pw, prev_gate=pg, t0=t0,
-                                  beam=beam_size, fused_fn=fused)
+                                  beam=beam_size, fused_fn=fused, fused_w=fw)
 
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,

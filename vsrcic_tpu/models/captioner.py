@@ -97,6 +97,44 @@ def init_captioner_params(key, cfg: CaptionerConfig, dtype=jnp.float32) -> Dict[
     }
 
 
+def derive_fused_step_weights(params):
+    """Concatenate the input_1-consuming projections (W1_is, W1_ig,
+    lstm_cell_1 w_ih) into one matmul and the h1_prev-consuming ones
+    (W1_hs, lstm w_hh) into another — identical dot products, 5 of the
+    step's 6 small matmuls collapse to 2 (W1_hg stays separate: the
+    reference applies it to the POST-update h1, ref
+    controllable_captioning.py:181). Derived once; decode-only.
+
+    x-side rows: [s-gate (R), g-gate-x (R), lstm ifgo (4R)];
+    h-side rows: [s-gate (R), lstm ifgo (4R)].
+    """
+    wx = jnp.concatenate([params["W1_is"]["weight"],
+                          params["W1_ig"]["weight"],
+                          params["lstm_cell_1"]["weight_ih"]], 0)
+    bx = jnp.concatenate([params["W1_is"]["bias"], params["W1_ig"]["bias"],
+                          params["lstm_cell_1"]["bias_ih"]], 0)
+    wh = jnp.concatenate([params["W1_hs"]["weight"],
+                          params["lstm_cell_1"]["weight_hh"]], 0)
+    bh = jnp.concatenate([params["W1_hs"]["bias"],
+                          params["lstm_cell_1"]["bias_hh"]], 0)
+    return {"wx": wx, "bx": bx, "wh": wh, "bh": bh}
+
+
+def _fused_input1_block(fused_w, input_1, h1_prev, c1_prev, rnn_size):
+    """Two fused passes: returns (s_gate, g_pre_x, h1, c1); the caller
+    finishes g_gate = sigmoid(g_pre_x + W1_hg(h1))."""
+    r = rnn_size
+    y_x = input_1 @ fused_w["wx"].T + fused_w["bx"]   # (B, 6R)
+    y_h = h1_prev @ fused_w["wh"].T + fused_w["bh"]   # (B, 5R)
+    s_gate = jax.nn.sigmoid(y_x[:, :r] + y_h[:, :r])
+    g_pre_x = y_x[:, r:2 * r]
+    gates = y_x[:, 2 * r:] + y_h[:, r:]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c1 = jax.nn.sigmoid(f) * c1_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h1 = jax.nn.sigmoid(o) * jnp.tanh(c1)
+    return s_gate, g_pre_x, h1, c1
+
+
 class CaptionerState(NamedTuple):
     """Recurrent decode state. All leaves have leading batch dim."""
     h1: jnp.ndarray
@@ -201,20 +239,27 @@ def _step_core(params, cfg: CaptionerConfig, state: CaptionerState,
 
 def _step_core_fused(params, cfg: CaptionerConfig, state: CaptionerState,
                      it, statics: Statics, ctrl, beam: int, fused_fn,
-                     image_descriptor):
+                     image_descriptor, fused_w=None):
     """_step_core variant using the fused Pallas gather+attention kernel
     (ops/fused_attention.py): the region group is DMA'd and attended on-chip;
     only the attended vector and gate evidence come back. Numerically matches
-    the XLA path (kernel verified on TPU)."""
+    the XLA path (kernel verified on TPU). `fused_w` (optional,
+    derive_fused_step_weights) collapses the input_1/h1 projections."""
     xt = nn.embedding(params["embed"], it)
     if cfg.h2_first_lstm:
         input_1 = jnp.concatenate([state.h2, image_descriptor, xt], 1)
     else:
         input_1 = jnp.concatenate([image_descriptor, xt], 1)
 
-    s_gate = jax.nn.sigmoid(nn.linear(params["W1_is"], input_1)
-                            + nn.linear(params["W1_hs"], state.h1))
-    h1, c1 = nn.lstm_cell(params["lstm_cell_1"], input_1, (state.h1, state.c1))
+    g_pre_x = None
+    if fused_w is not None:
+        s_gate, g_pre_x, h1, c1 = _fused_input1_block(
+            fused_w, input_1, state.h1, state.c1, cfg.rnn_size)
+    else:
+        s_gate = jax.nn.sigmoid(nn.linear(params["W1_is"], input_1)
+                                + nn.linear(params["W1_hs"], state.h1))
+        h1, c1 = nn.lstm_cell(params["lstm_cell_1"], input_1,
+                              (state.h1, state.c1))
     s_t = s_gate * jnp.tanh(c1)
     fc_sentinel = nn.linear(params["s_fc"], s_t)              # (B, D)
 
@@ -238,8 +283,9 @@ def _step_core_fused(params, cfg: CaptionerConfig, state: CaptionerState,
     word_logits = nn.linear(params["out_fc"], h2).astype(jnp.float32)
     word_logp = jax.nn.log_softmax(word_logits, axis=-1)
 
-    g_gate = jax.nn.sigmoid(nn.linear(params["W1_ig"], input_1)
-                            + nn.linear(params["W1_hg"], h1))
+    if g_pre_x is None:
+        g_pre_x = nn.linear(params["W1_ig"], input_1)
+    g_gate = jax.nn.sigmoid(g_pre_x + nn.linear(params["W1_hg"], h1))
     g_t = g_gate * jnp.tanh(c1)
     gate_w = nn.linear(params["att_g"],
                        jnp.tanh(nn.linear(params["att_ga"], g_t) + ha))
@@ -281,7 +327,7 @@ def _per_row(statics: Statics, beam: int, rows: int):
 def captioner_step(params, cfg: CaptionerConfig, state: CaptionerState,
                    statics: Statics, it=None, det_curr=None,
                    prev_word=None, prev_gate=None, t0=False, beam: int = 1,
-                   fused_fn=None):
+                   fused_fn=None, fused_w=None):
     """One decode step.
 
     Teacher forcing: pass `it` (B,) and `det_curr` (B, M, D).
@@ -308,7 +354,7 @@ def captioner_step(params, cfg: CaptionerConfig, state: CaptionerState,
             image_descriptor, _ = _per_row(statics, beam, b)
             (word_logp, gate_logp), (h1, c1, h2, c2) = _step_core_fused(
                 params, cfg, state, it, statics, ctrl, beam, fused_fn,
-                image_descriptor)
+                image_descriptor, fused_w=fused_w)
             return ((word_logp, gate_logp),
                     CaptionerState(h1, c1, h2, c2, ctrl))
         det_curr, det_proj, det_mask = _gather_group(statics, ctrl, beam)
@@ -371,7 +417,7 @@ def substitute_verb(word_logp, gate_logp, verb_curr, tense_table: Optional[VerbT
 def captioner_step_v(params, cfg: CaptionerConfig, state: CaptionerState,
                      statics: Statics, tense_table: Optional[VerbTenseTable],
                      prev_word=None, prev_gate=None, t0=False, gt=False,
-                     beam: int = 1, fused_fn=None):
+                     beam: int = 1, fused_fn=None, fused_w=None):
     """Feedback step with verb substitution (ref step_v :192-297).
 
     statics.verb_list (B, L) holds -1 for non-verb slots, else the verb id
@@ -395,7 +441,7 @@ def captioner_step_v(params, cfg: CaptionerConfig, state: CaptionerState,
     if fused_fn is not None:
         (word_logp, gate_logp), (h1, c1, h2, c2) = _step_core_fused(
             params, cfg, state, it, statics, ctrl, beam, fused_fn,
-            image_descriptor)
+            image_descriptor, fused_w=fused_w)
     else:
         det_curr, det_proj, det_mask = _gather_group(statics, ctrl, beam)
         (word_logp, gate_logp), (h1, c1, h2, c2) = _step_core(
