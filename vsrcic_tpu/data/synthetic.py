@@ -19,15 +19,23 @@ SR_NAMES = ["ARG0", "ARG1", "ARG2", "LOC", "MNR", "TMP"]
 
 
 class ClassSeededStore:
-    """Detection store whose per-image class argmaxes hit prescribed classes."""
+    """Detection store whose per-image class argmaxes hit prescribed classes.
+
+    Features are class prototypes + noise so that visual grounding is
+    actually learnable on synthetic data (a detection's feature vector
+    carries its class identity, like real Faster-R-CNN features do).
+    """
 
     def __init__(self, image_classes, n_classes, feat_dim=2048, n_dets=10,
-                 seed=0):
+                 seed=0, noise=0.15):
         self.image_classes = image_classes  # {str(id): [class indices >=1]}
         self.n_classes = n_classes
         self.feat_dim = feat_dim
         self.n_dets = n_dets
         self.seed = seed
+        self.noise = noise
+        proto_rng = np.random.RandomState(seed + 777)
+        self._protos = proto_rng.rand(n_classes, feat_dim).astype(np.float32)
 
     def get(self, image_id):
         key = str(image_id)
@@ -36,9 +44,12 @@ class ClassSeededStore:
         cls_list = self.image_classes.get(key, [1])
         n = self.n_dets
         probs = rng.rand(n, self.n_classes).astype(np.float32) * 0.1
-        for i in range(n):
-            probs[i, cls_list[i % len(cls_list)]] = 1.0
-        feats = rng.rand(n, self.feat_dim).astype(np.float32)
+        det_cls = [cls_list[i % len(cls_list)] for i in range(n)]
+        for i, c in enumerate(det_cls):
+            probs[i, c] = 1.0
+        feats = (self._protos[det_cls]
+                 + self.noise * rng.rand(n, self.feat_dim)
+                 ).astype(np.float32)
         x1 = rng.rand(n, 1) * 200
         y1 = rng.rand(n, 1) * 200
         boxes = np.concatenate(

@@ -13,11 +13,17 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def adam(lr: float = 5e-4) -> optax.GradientTransformation:
+def adam(lr: float = 5e-4, grad_clip: Optional[float] = None
+         ) -> optax.GradientTransformation:
     """torch.optim.Adam defaults (betas (0.9, 0.999), eps 1e-8) with a
-    mutable learning rate (set_learning_rate / inject_hyperparams)."""
-    return optax.inject_hyperparams(optax.adam)(
+    mutable learning rate (set_learning_rate / inject_hyperparams).
+    grad_clip: elementwise clamp like the reference's (unused-upstream)
+    clip_gradient helper (utils/tools.py:73)."""
+    tx = optax.inject_hyperparams(optax.adam)(
         learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8)
+    if grad_clip is not None:
+        return optax.chain(optax.clip(grad_clip), tx)
+    return tx
 
 
 def set_learning_rate(opt_state, lr: float):
