@@ -43,7 +43,10 @@ class FlickrDetectionField(RawField):
         self.diverse = diverse
 
     def preprocess(self, x, avoid_precomp=False):
-        image_id = flickr_image_id(x)
+        # the reference returns an *int* id here (ref :727), unlike the
+        # string ids used by the other Flickr fields — keys in the eval
+        # pipeline's per-image dicts depend on it
+        image_id = int(flickr_image_id(x))
         precomp = self.store.get(image_id).features
         delta = self.max_detections - precomp.shape[0]
         if delta > 0:
