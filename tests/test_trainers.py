@@ -173,3 +173,20 @@ def test_compact_field_matches_dense(tmp_path):
                        feats[np.clip(c_ids, 0, len(feats) - 1)], 0.0)
         np.testing.assert_allclose(got, d_out, rtol=1e-6)
     np.testing.assert_array_equal(dense[1], comp[1])
+
+
+def test_compact_field_respects_image_budget():
+    """ids never reach the companion image field's max_detections budget
+    (VERDICT weak #7: the budget used to be hardcoded at 100)."""
+    from vsrcic_tpu.data import COCOControlSequenceField, SyntheticCOCO
+    syn = SyntheticCOCO(n_images=4, n_val=1, n_test=1, feat_dim=32)
+    budget = 3  # far below the synthetic store's detection count
+    compact_f = COCOControlSequenceField(
+        syn.store, classes_path=syn.classes, padding_idx=-1, all_boxes=False,
+        fix_length=20, compact=True, image_max_detections=budget)
+    train, _, _ = syn.sample_splits
+    ex = train[0]
+    comp = compact_f.preprocess((ex.detection[0], ex.detection[1]))
+    for ids in (comp[0], comp[2]):
+        assert ids.max() < budget
+        assert (ids >= -1).all()

@@ -54,10 +54,13 @@ def main(argv=None):
     tf = world.text_field
     train_ex, val_ex, _ = world.splits
 
-    image_field = ImageDetectionsField(world.store, max_detections=100)
+    img_max_det = 100
+    image_field = ImageDetectionsField(world.store,
+                                       max_detections=img_max_det)
     det_field = COCOControlSequenceField(
         world.store, classes_path=world.classes, padding_idx=-1,
-        all_boxes=False, fix_length=20, compact=True)
+        all_boxes=False, fix_length=20, compact=True,
+        image_max_detections=img_max_det)
 
     train_ds = PairedDataset(train_ex, {"image": image_field,
                                         "detection": det_field,

@@ -11,22 +11,33 @@ released reference checkpoints into our params for eval parity.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any, Dict, Optional
 
 import numpy as np
 
+logger = logging.getLogger("vsrcic_tpu.checkpoint")
+
 
 def save_checkpoint(path: str, tree: Dict[str, Any]):
-    """Save a pytree checkpoint (orbax if available, npz fallback)."""
+    """Save a pytree checkpoint (orbax if available, npz fallback).
+
+    Only a missing/broken orbax *install* falls back to npz; an orbax
+    *save error* with orbax present propagates — silently eating it would
+    hide real bugs behind a format switch.
+    """
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     try:
         import orbax.checkpoint as ocp
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, tree, force=True)
-    except Exception:
+    except ImportError as e:
+        logger.warning("orbax unavailable (%s); saving npz fallback to %s",
+                       e, path)
         _save_npz(path, tree)
+        return
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree, force=True)
 
 
 def restore_checkpoint(path: str) -> Dict[str, Any]:

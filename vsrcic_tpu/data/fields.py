@@ -120,7 +120,7 @@ class COCOControlSequenceField(RawField):
     def __init__(self, store, classes_path=None, padding_idx=0,
                  fix_length=None, all_boxes=True, pad_eos=True,
                  max_detections=20, sorting=False, compact=False,
-                 postprocessing=None):
+                 image_max_detections=100, postprocessing=None):
         super().__init__(None, postprocessing)
         self.store = store
         self.max_detections = max_detections
@@ -129,6 +129,10 @@ class COCOControlSequenceField(RawField):
         self.all_boxes = all_boxes
         self.sorting = sorting
         self.compact = compact
+        # row budget of the companion ImageDetectionsField: compact ids index
+        # into that field's padded/truncated detection tensor, so ids >= its
+        # max_detections would gather the wrong (or padded) rows
+        self.image_max_detections = image_max_detections
         self.eos_token = padding_idx if pad_eos else None
         self.classes = _load(classes_path, load_classes)
 
@@ -221,7 +225,7 @@ class COCOControlSequenceField(RawField):
 
         cls_seq_test = [k for k, _ in groupby(det_classes) if k is not None]
         if self.compact:
-            n_dets = min(len(det_features), 100)  # image-field row budget
+            n_dets = min(len(det_features), self.image_max_detections)
             if self.sorting:
                 cls_seq_test.sort()
                 return self._fill_ids(cls_seq_test, det_boxes, selected,
