@@ -190,3 +190,37 @@ def test_compact_field_respects_image_budget():
     for ids in (comp[0], comp[2]):
         assert ids.max() < budget
         assert (ids >= -1).all()
+
+
+def test_scst_epoch_baseline_mode(cfg):
+    """Reference baseline scheme (ref train.py:122-138): frozen epoch-start
+    greedy captions; equivalent advantage when params haven't changed."""
+    tf = TextField(fix_length=T)
+    caps = ["a b c d", "c d e f", "a c e g", "b d f h"]
+    tf.build_vocab(caps, min_freq=1)
+    cfg2 = CaptionerConfig(**{**cfg.__dict__, "vocab_size": len(tf.vocab),
+                              "bos_idx": tf.bos_idx})
+    params = init_captioner_params(jax.random.PRNGKey(1), cfg2)
+    cider = Cider(gts={i: [c] for i, c in enumerate(caps)})
+    rng = np.random.RandomState(0)
+    detections = rng.rand(B, 6, D).astype(np.float32)
+    groups = rng.rand(B, 4, M, D).astype(np.float32)
+
+    tr_e = CaptionerSCSTTrainer(cfg2, params, tf, cider, lr=1e-4,
+                                baseline="epoch")
+    base = tr_e.epoch_baseline_caps(detections, groups)
+    assert len(base) == B and all(isinstance(c, str) for c in base)
+    # epoch mode requires the snapshot
+    import pytest
+    with pytest.raises(ValueError):
+        tr_e.step(detections, groups, caps, jax.random.PRNGKey(0))
+    loss_e, adv_e = tr_e.step(detections, groups, caps,
+                              jax.random.PRNGKey(0), baseline_caps=base)
+
+    # at step 0 (identical params) the fused step-mode greedy baseline
+    # produces the same captions, hence the same advantage and loss
+    tr_s = CaptionerSCSTTrainer(cfg2, params, tf, cider, lr=1e-4)
+    loss_s, adv_s = tr_s.step(detections, groups, caps,
+                              jax.random.PRNGKey(0))
+    assert adv_e == adv_s
+    np.testing.assert_allclose(loss_e, loss_s, rtol=1e-6)

@@ -22,6 +22,12 @@ def main(argv=None):
     p.add_argument("--h2_first_lstm", default=1, type=int)
     p.add_argument("--img_second_lstm", default=0, type=int)
     p.add_argument("--sample_rl", action="store_true")
+    p.add_argument("--scst_baseline", default="step",
+                   choices=("step", "epoch"),
+                   help="SCST baseline: 'step' = live-params greedy fused "
+                   "with the sample decode (one jitted program); 'epoch' = "
+                   "the reference scheme (frozen epoch-start greedy pass, "
+                   "ref train.py:122-138)")
     p.add_argument("--patience", default=5, type=int)
     p.add_argument("--log_dir", default=None, type=str)
     opt = p.parse_args(argv)
@@ -106,7 +112,8 @@ def main(argv=None):
         cider_train = Cider(gts=ptb_tokenize(
             {i: [c] for i, c in enumerate(ref_caps)}))
         trainer = CaptionerSCSTTrainer(cfg, params, tf, cider_train,
-                                       lr=opt.lr)
+                                       lr=opt.lr,
+                                       baseline=opt.scst_baseline)
     else:
         trainer = CaptionerXETrainer(cfg, params, lr=opt.lr)
 
@@ -116,6 +123,21 @@ def main(argv=None):
         if not opt.sample_rl:
             trainer.set_lr(step_lr(opt.lr, e, opt.step_size, opt.gamma))
         t0 = time.time()
+        epoch_baselines = None
+        if opt.sample_rl and opt.scst_baseline == "epoch":
+            # frozen epoch-start greedy baseline pass (ref train.py:122-138);
+            # loader order is deterministic in RL mode (shuffle off), so
+            # per-batch snapshots pair with the same batches below
+            import jax.numpy as jnp
+            from vsrcic_tpu.decode.loops import expand_compact_groups
+            epoch_baselines = []
+            for batch in loader_train:
+                (dets, _), det_out, _ = batch
+                _, _, det_seqs_test, _ = det_out
+                groups = expand_compact_groups(jnp.asarray(dets),
+                                               jnp.asarray(det_seqs_test))
+                epoch_baselines.append(
+                    trainer.epoch_baseline_caps(dets, groups))
         running = 0.0
         n_it = 0
         for batch in loader_train:
@@ -126,8 +148,11 @@ def main(argv=None):
                 from vsrcic_tpu.decode.loops import expand_compact_groups
                 groups = expand_compact_groups(jnp.asarray(dets),
                                                jnp.asarray(det_seqs_test))
+                base = (epoch_baselines[n_it]
+                        if epoch_baselines is not None else None)
                 loss, adv = trainer.step(dets, groups, list(caps),
-                                         jax.random.PRNGKey(step))
+                                         jax.random.PRNGKey(step),
+                                         baseline_caps=base)
             else:
                 cap_ids = tf.process(list(caps))
                 loss, lc, lg = trainer.step(dets, cap_ids, det_seqs,

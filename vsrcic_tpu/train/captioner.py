@@ -104,15 +104,36 @@ def scst_loss_fn(params, cfg: CaptionerConfig, detections, det_groups,
 
 
 class CaptionerSCSTTrainer:
-    """Self-critical sequence training with native in-step CIDEr reward."""
+    """Self-critical sequence training with native in-step CIDEr reward.
+
+    Two baseline schemes:
+      * ``baseline="step"`` — greedy decode with the *live* params every
+        step, fused with the sampled decode into ONE jitted program
+        (statics computed once, both decodes share them);
+      * ``baseline="epoch"`` — the reference scheme (ref train.py:122-138):
+        a full greedy pass at epoch start snapshots per-batch baseline
+        captions; RL steps then sample only and score against the frozen
+        snapshot (call `epoch_baseline_caps` per batch at epoch start and
+        pass the result to `step(..., baseline_caps=...)`).
+    """
 
     def __init__(self, cfg: CaptionerConfig, params, text_field: TextField,
-                 cider: Cider, lr: float = 5e-4, mesh=None):
+                 cider: Cider, lr: float = 5e-4, mesh=None,
+                 baseline: str = "step"):
+        if baseline not in ("step", "epoch"):
+            raise ValueError("baseline must be 'step' or 'epoch'")
         self.cfg = cfg
         self.text_field = text_field
         self.cider = cider
+        self.baseline = baseline
         self.tx = adam(lr)
         self.state = init_train_state(params, self.tx)
+
+        def sample_and_greedy(params, detections, det_groups, rng):
+            statics = precompute_statics(params, cfg, detections, det_groups)
+            sampled = sample_decode(params, cfg, statics, rng)
+            base_words, _ = greedy_decode(params, cfg, statics)
+            return sampled, base_words
 
         def sample_step(params, detections, det_groups, rng):
             statics = precompute_statics(params, cfg, detections, det_groups)
@@ -129,6 +150,7 @@ class CaptionerSCSTTrainer:
                 advantage)
             return apply_grads(self.tx, state, grads), loss
 
+        self._sample_and_greedy = jax.jit(sample_and_greedy)
         self._sample = jax.jit(sample_step)
         self._greedy = jax.jit(greedy_step)
         self._grad = jax.jit(grad_step)
@@ -136,6 +158,14 @@ class CaptionerSCSTTrainer:
     def _decode_caps(self, words) -> List[str]:
         caps = self.text_field.decode(np.asarray(words), join_words=False)
         return [dedup_join(c) for c in caps]
+
+    def epoch_baseline_caps(self, detections, det_groups) -> List[str]:
+        """Greedy baseline captions for one batch with the current (epoch-
+        start) params — reference train.py:122-138."""
+        base_words, _ = self._greedy(self.state.params,
+                                     jnp.asarray(detections),
+                                     jnp.asarray(det_groups))
+        return self._decode_caps(base_words)
 
     def rewards(self, sampled_caps: List[str], baseline_caps: List[str],
                 gt_caps: List[str]) -> np.ndarray:
@@ -146,16 +176,22 @@ class CaptionerSCSTTrainer:
         _, rb = self.cider.compute_score(gts, base)
         return (r - rb).astype(np.float32)
 
-    def step(self, detections, det_groups, gt_caps: List[str], rng
-             ) -> Tuple[float, float]:
+    def step(self, detections, det_groups, gt_caps: List[str], rng,
+             baseline_caps: List[str] = None) -> Tuple[float, float]:
         detections = jnp.asarray(detections)
         det_groups = jnp.asarray(det_groups)
-        (words, gates), _ = self._sample(self.state.params, detections,
-                                         det_groups, rng)
-        base_words, _ = self._greedy(self.state.params, detections,
-                                     det_groups)
+        if baseline_caps is not None:
+            (words, gates), _ = self._sample(self.state.params, detections,
+                                             det_groups, rng)
+            baseline = baseline_caps
+        else:
+            if self.baseline == "epoch":
+                raise ValueError("baseline='epoch' requires baseline_caps "
+                                 "(from epoch_baseline_caps at epoch start)")
+            ((words, gates), _), base_words = self._sample_and_greedy(
+                self.state.params, detections, det_groups, rng)
+            baseline = self._decode_caps(base_words)
         sampled = self._decode_caps(words)
-        baseline = self._decode_caps(base_words)
         adv = self.rewards(sampled, baseline, gt_caps)
         self.state, loss = self._grad(self.state, detections, det_groups,
                                       words, gates, jnp.asarray(adv))
