@@ -1,0 +1,127 @@
+"""Vocab-top-k fast path: kernel parity + candidate-beam exactness.
+
+The candidate-based beam (decode/beam.beam_search_joint_candidates +
+ops/vocab_topk) must select token-for-token the same beams as the dense flat
+formulation — the exactness argument is in the beam docstring; these tests
+check it empirically on random models including verb substitution, gt mode,
+EOS freezing (short sequences force finished beams), and tie-heavy verb
+seas.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vsrcic_tpu.models.api import ControllableCaptioner
+from vsrcic_tpu.models.captioner import CaptionerConfig
+from vsrcic_tpu.ops.vocab_topk import make_vocab_topk_lse, vocab_topk_lse_xla
+
+V, D, E, R, A = 30, 32, 24, 16, 8
+T, B, M, L = 12, 4, 5, 6
+BOS, EOS = 2, 3
+VERB_TABLE = {"1": [5, 9, 11], "2": [7], "3": []}
+
+
+def test_kernel_interpret_matches_xla_reference():
+    rng = np.random.RandomState(0)
+    rows, r, v, k = 16, 24, 300, 5
+    h2 = jnp.asarray(rng.randn(rows, r).astype(np.float32))
+    w_t = jnp.asarray(rng.randn(r, v).astype(np.float32))
+    b = jnp.asarray(rng.randn(v).astype(np.float32))
+    # duplicate columns -> value ties; lowest vocab id must win (lax.top_k)
+    w_t = w_t.at[:, 10].set(w_t[:, 3])
+    b = b.at[10].set(b[3])
+    v1, i1, l1 = vocab_topk_lse_xla(h2, w_t, b, k)
+    fn = make_vocab_topk_lse(rows, r, v, k, tile_v=128, interpret=True)
+    v2, i2, l2 = fn(h2, w_t, b)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+
+
+def _make_captioners():
+    cfg = CaptionerConfig(seq_len=T, vocab_size=V, bos_idx=BOS,
+                          det_feat_size=D, input_encoding_size=E,
+                          rnn_size=R, att_size=A)
+    flat = ControllableCaptioner(cfg, key=jax.random.PRNGKey(0),
+                                 verb_2_vob_all=VERB_TABLE)
+    cand = ControllableCaptioner(cfg, params=flat.params,
+                                 verb_2_vob_all=VERB_TABLE,
+                                 use_vocab_topk="xla")
+    return flat, cand
+
+
+def _inputs(seed):
+    rng = np.random.RandomState(seed)
+    detections = rng.rand(B, 10, D).astype(np.float32)
+    detections[:, 7:] = 0.0
+    groups = rng.rand(B, L, M, D).astype(np.float32)
+    groups[:, :, 4:] = 0.0
+    verb_list = np.full((B, L), -1, np.int64)
+    verb_list[0, 1] = 1
+    verb_list[1, 2] = 2
+    verb_list[2, 0] = 3     # empty tense list -> fallback word 0
+    verb_list[3, 0] = 1     # verb in the FIRST group (t=0 substitution)
+    return detections, groups, verb_list
+
+
+@pytest.mark.parametrize("gt", [False, True])
+@pytest.mark.parametrize("seed", [2, 7])
+def test_candidate_beam_matches_flat(gt, seed):
+    flat, cand = _make_captioners()
+    detections, groups, verb_list = _inputs(seed)
+    if gt:
+        verb_list = np.where(verb_list > 0, 7, verb_list)
+    for beam in (3, 5):
+        rf = flat.beam_search_v(detections, groups, verb_list,
+                                eos_word=EOS, beam_size=beam, gt=gt)
+        rc = cand.beam_search_v(detections, groups, verb_list,
+                                eos_word=EOS, beam_size=beam, gt=gt)
+        np.testing.assert_array_equal(np.asarray(rc.words),
+                                      np.asarray(rf.words))
+        np.testing.assert_array_equal(np.asarray(rc.gates),
+                                      np.asarray(rf.gates))
+        np.testing.assert_allclose(np.asarray(rc.scores),
+                                   np.asarray(rf.scores), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rc.word_logps),
+                                   np.asarray(rf.word_logps), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rc.gate_logps),
+                                   np.asarray(rf.gate_logps), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_candidate_beam_matches_reference_torch():
+    """End-to-end: candidate beam vs the actual reference torch beam."""
+    torch = pytest.importorskip("torch")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_loader import load_reference_captioner
+    from vsrcic_tpu.utils.torch_import import nest_state_dict
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        torch.manual_seed(0)
+        ref = load_reference_captioner(
+            td, verb_2_vob_all=VERB_TABLE, seq_len=T, vocab_size=V,
+            bos_idx=BOS, det_feat_size=D, input_encoding_size=E,
+            rnn_size=R, att_size=A)
+    params = nest_state_dict(ref.state_dict())
+    cfg = CaptionerConfig(seq_len=T, vocab_size=V, bos_idx=BOS,
+                          det_feat_size=D, input_encoding_size=E,
+                          rnn_size=R, att_size=A)
+    cand = ControllableCaptioner(cfg, params=params,
+                                 verb_2_vob_all=VERB_TABLE,
+                                 use_vocab_topk="xla")
+    detections, groups, verb_list = _inputs(11)
+    beam = 3
+    with torch.no_grad():
+        outs_t, _ = ref.beam_search_v(
+            (torch.tensor(detections), torch.tensor(groups),
+             torch.tensor(verb_list.astype(np.float64))),
+            eos_idxs=[EOS, -1], beam_size=beam, out_size=beam, gt=False)
+    rc = cand.beam_search_v(detections, groups, verb_list,
+                            eos_word=EOS, beam_size=beam)
+    np.testing.assert_array_equal(np.asarray(rc.words), outs_t[0].numpy())
+    np.testing.assert_array_equal(np.asarray(rc.gates), outs_t[1].numpy())

@@ -149,3 +149,123 @@ def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
 
     # top_k leaves beams already sorted by score desc (ref sorts again :279)
     return BeamResult(words, gates, word_logps, gate_logps, seq_logprob)
+
+
+def beam_search_joint_candidates(step_fn: Callable, state: Any, batch: int,
+                                 beam_size: int, seq_len: int, eos_word: int,
+                                 vocab_size: int,
+                                 eos_gate: int = -1) -> BeamResult:
+    """Candidate-based joint beam search — same selection as
+    `beam_search_joint` without ever scoring the dense (beam x vocab x gate)
+    space.
+
+    `step_fn(state, prev_word, prev_gate, t0) ->
+    ((cand_ids (rows, C) int32, cand_wlp (rows, C) f32, g_logp (rows, 2)),
+    state)` returns, per decode row, a candidate word set that provably
+    contains that row's contribution to the item's joint top-k:
+
+      * non-verb rows: the row's top-k words by logprob (exactness: any word
+        outside a row's word-top-k is dominated, within the same row and
+        gate, by k better words — so it can never be in the joint top-k);
+      * verb-substituted rows: the forced tense word (logp 0) plus the k
+        lowest vocab ids (logp -1e6) that reproduce the flat formulation's
+        tie-break order over the substituted sea.
+
+    Finished-beam freezing is applied here in candidate space (word 0 pinned
+    to the old score, a -999 sea on ids 1..C-1), matching
+    `old_seq_logprob[:, :, 1:] = -999` (ref CaptioningModel.py:231-235).
+    Ties are broken exactly like the dense flat top-k via a two-key
+    `lax.sort` on (-score, flat virtual index beam*V*2 + word*2 + gate).
+    """
+    k = beam_size
+    v2 = vocab_size * 2
+
+    def select(seq_logprob, cand_ids, cand_wlp, g, frozen=None,
+               t0_only_beam0=False):
+        b, kk, c = cand_ids.shape
+        slot = jnp.arange(c, dtype=jnp.int32)[None, None, :]
+        if frozen is not None:
+            # frozen beams: word 0 at the old score, -999 sea on ids 1..C-1
+            cand_ids = jnp.where(frozen[:, :, None], slot, cand_ids)
+        score = (seq_logprob[:, :, None, None] + cand_wlp[:, :, :, None]
+                 + g[:, :, None, :])                       # (B, K, C, 2)
+        if frozen is not None:
+            froz = jnp.where(slot == 0, seq_logprob[:, :, None], -999.0)
+            score = jnp.where(frozen[:, :, None, None],
+                              froz[:, :, :, None], score)
+        if t0_only_beam0:
+            score = jnp.where(
+                (jnp.arange(kk) == 0)[None, :, None, None], score, -jnp.inf)
+        gate_ax = jnp.arange(2, dtype=jnp.int32)[None, None, None, :]
+        vidx = (jnp.arange(kk, dtype=jnp.int32)[None, :, None, None] * v2
+                + cand_ids[:, :, :, None] * 2 + gate_ax)   # (B, K, C, 2)
+        n = kk * c * 2
+        flat_score = score.reshape(b, n)
+        flat_vidx = vidx.reshape(b, n)
+        pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                               (b, n))
+        _, _, sel_pos = jax.lax.sort(
+            (-flat_score, flat_vidx, pos), num_keys=2)
+        sel_pos = sel_pos[:, :k]                           # (B, K)
+        take = lambda a: jnp.take_along_axis(a.reshape(b, n), sel_pos, 1)
+        sel_score = take(score)
+        sel_beam = sel_pos // (c * 2)
+        rem = sel_pos - sel_beam * (c * 2)
+        sel_slot = rem // 2
+        gate = rem - sel_slot * 2
+        word = take(jnp.broadcast_to(cand_ids[:, :, :, None],
+                                     score.shape).astype(jnp.int32))
+        wlp = take(jnp.broadcast_to(cand_wlp[:, :, :, None], score.shape))
+        glp = take(jnp.broadcast_to(g[:, :, None, :], score.shape))
+        return (sel_score, sel_beam, word, gate.astype(jnp.int32), wlp, glp)
+
+    # ----- t = 0 -------------------------------------------------------------
+    zeros_bk = jnp.zeros((batch * k,), jnp.int32)
+    (c_ids, c_wlp, g_logp), state = step_fn(state, zeros_bk, zeros_bk, True)
+    C = c_ids.shape[-1]
+    ids = c_ids.reshape(batch, k, C)
+    wlp = c_wlp.reshape(batch, k, C)
+    g = g_logp.reshape(batch, k, 2)
+    (seq_logprob, sel_beam, word, gate, w_lp0, g_lp0) = select(
+        jnp.zeros((batch, k)), ids, wlp, g, t0_only_beam0=True)
+    state = _gather_beam(state, sel_beam, batch, k)
+
+    words = jnp.zeros((batch, k, seq_len), jnp.int32).at[:, :, 0].set(word)
+    gates = jnp.zeros((batch, k, seq_len), jnp.int32).at[:, :, 0].set(gate)
+    word_logps = jnp.zeros((batch, k, seq_len)).at[:, :, 0].set(w_lp0)
+    gate_logps = jnp.zeros((batch, k, seq_len)).at[:, :, 0].set(g_lp0)
+    mask_w = jnp.ones((batch, k))
+    mask_g = jnp.ones((batch, k))
+
+    # ----- t >= 1 ------------------------------------------------------------
+    def body(carry, t):
+        (state, seq_logprob, mask_w, mask_g, word, gate,
+         words, gates, word_logps, gate_logps) = carry
+        (c_ids, c_wlp, g_logp), state = step_fn(
+            state, word.reshape(-1), gate.reshape(-1), False)
+        ids = c_ids.reshape(batch, k, C)
+        wlp = c_wlp.reshape(batch, k, C)
+        g = g_logp.reshape(batch, k, 2)
+
+        mask_w = mask_w * (word != eos_word)
+        mask_g = mask_g * (gate != eos_gate)
+        mask_full = jnp.clip(mask_w + mask_g, 0.0, 1.0)
+        (seq_logprob, sel_beam, word, gate, wlp_sel, glp_sel) = select(
+            seq_logprob, ids, wlp, g, frozen=(mask_full == 0.0))
+
+        state = _gather_beam(state, sel_beam, batch, k)
+        g2 = lambda a: jnp.take_along_axis(a, sel_beam, axis=1)
+        g3 = lambda a: jnp.take_along_axis(a, sel_beam[:, :, None], axis=1)
+        mask_w, mask_g = g2(mask_w), g2(mask_g)
+        words = g3(words).at[:, :, t].set(word)
+        gates = g3(gates).at[:, :, t].set(gate)
+        word_logps = word_logps.at[:, :, t].set(wlp_sel * mask_w)
+        gate_logps = gate_logps.at[:, :, t].set(glp_sel * mask_g)
+        return (state, seq_logprob, mask_w, mask_g, word, gate,
+                words, gates, word_logps, gate_logps), None
+
+    carry = (state, seq_logprob, mask_w, mask_g, word, gate,
+             words, gates, word_logps, gate_logps)
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(1, seq_len))
+    (_, seq_logprob, _, _, _, _, words, gates, word_logps, gate_logps) = carry
+    return BeamResult(words, gates, word_logps, gate_logps, seq_logprob)

@@ -39,7 +39,7 @@ class ControllableCaptioner:
     def __init__(self, cfg: CaptionerConfig, params=None, key=None,
                  verb_2_vob_all: Optional[Dict] = None,
                  decode_dtype=None, use_fused_attention: bool = False,
-                 table_dtype=None):
+                 table_dtype=None, use_vocab_topk=False):
         """decode_dtype: cast params for decode (measured SLOWER on TPU than
         default-precision fp32 — see docs/ENGINEERING_NOTES.md; kept as an
         option). table_dtype: storage dtype for the beam statics tables
@@ -53,6 +53,10 @@ class ControllableCaptioner:
                 key if key is not None else jax.random.PRNGKey(1234), cfg)
         self.params = params
         self.use_fused_attention = use_fused_attention
+        # use_vocab_topk: False | True (Pallas streaming kernel, TPU) |
+        # "xla" (reference impl, any backend) — candidate-based beam that
+        # never materializes (rows, V) word logprobs
+        self.use_vocab_topk = use_vocab_topk
         self._fused_cache = {}
         self.decode_dtype = decode_dtype
         self.table_dtype = table_dtype
@@ -133,6 +137,16 @@ class ControllableCaptioner:
         from vsrcic_tpu.models.captioner import derive_fused_step_weights
         return statics, fused, derive_fused_step_weights(params)
 
+    def _vocab_topk_fn(self, rows, k):
+        """Streaming Pallas top-k+lse kernel (TPU) or the XLA reference."""
+        from vsrcic_tpu.ops.vocab_topk import (get_vocab_topk,
+                                               vocab_topk_lse_xla)
+        if self.use_vocab_topk == "xla":
+            return lambda h2, w_t, b: vocab_topk_lse_xla(h2, w_t, b, k)
+        return get_vocab_topk(
+            rows, self.cfg.rnn_size, self.cfg.vocab_size, k,
+            table_dtype=self.table_dtype or jnp.float32)
+
     def _beam_v_impl(self, params, detections, det_groups, verb_list,
                      beam_size, eos_word, gt):
         # statics stay UNEXPANDED (per item); the steps gather per beam row
@@ -141,6 +155,29 @@ class ControllableCaptioner:
                                                  det_groups,
                                                  verb_list=verb_list,
                                                  beam=beam_size)
+
+        if self.use_vocab_topk:
+            from vsrcic_tpu.decode.beam import beam_search_joint_candidates
+            from vsrcic_tpu.models.captioner import captioner_step_v_topk
+            vocab_fn = self._vocab_topk_fn(b * beam_size, beam_size)
+            w_t = params["out_fc"]["weight"].T
+            bias = params["out_fc"]["bias"]
+            if hasattr(vocab_fn, "prepare_tables"):
+                tables = vocab_fn.prepare_tables(w_t, bias)
+            else:
+                tables = (w_t, bias)
+
+            def step_fn(state, pw, pg, t0):
+                return captioner_step_v_topk(
+                    params, self.cfg, state, statics, self.tense_table,
+                    vocab_fn, tables, prev_word=pw, prev_gate=pg, t0=t0,
+                    gt=gt, beam=beam_size, k=beam_size, fused_fn=fused,
+                    fused_w=fw)
+
+            return beam_search_joint_candidates(
+                step_fn, init_state(self.cfg, b * beam_size), b, beam_size,
+                self.cfg.seq_len, eos_word=eos_word,
+                vocab_size=self.cfg.vocab_size)
 
         def step_fn(state, pw, pg, t0):
             return captioner_step_v(params, self.cfg, state, statics,

@@ -175,13 +175,16 @@ def precompute_statics(params, cfg: CaptionerConfig, detections, det_groups,
 
 
 def _step_core(params, cfg: CaptionerConfig, state: CaptionerState,
-               it, det_curr, det_curr_proj, det_curr_mask, image_descriptor):
+               it, det_curr, det_curr_proj, det_curr_mask, image_descriptor,
+               word_head=True):
     """Shared math of step/step_v given the already-gathered region group.
 
     it: (B,) int32 input word; det_curr: (B, M, D); det_curr_proj: (B, M, A);
     det_curr_mask: (B, M). Returns ((word_logp, gate_logp), new_state_core)
     where gate logits follow ref :181-188 and new_state_core excludes the
     ctrl pointer update (owned by the caller / decode loop).
+    `word_head=False` skips the out_fc/log_softmax (word_logp is None); the
+    caller takes h2 from the state tuple (vocab-top-k fast path).
     """
     xt = nn.embedding(params["embed"], it)
 
@@ -221,8 +224,10 @@ def _step_core(params, cfg: CaptionerConfig, state: CaptionerState,
     h2, c2 = nn.lstm_cell(params["lstm_cell_2"], input_2, (state.h2, state.c2))
     # logits upcast: matmuls may run in bf16 (decode fast path) but scores,
     # softmaxes and beam bookkeeping stay fp32
-    word_logits = nn.linear(params["out_fc"], h2).astype(jnp.float32)
-    word_logp = jax.nn.log_softmax(word_logits, axis=-1)
+    word_logp = None
+    if word_head:
+        word_logits = nn.linear(params["out_fc"], h2).astype(jnp.float32)
+        word_logp = jax.nn.log_softmax(word_logits, axis=-1)
 
     # shift gate  (ref :181-188)
     g_gate = jax.nn.sigmoid(nn.linear(params["W1_ig"], input_1)
@@ -239,7 +244,7 @@ def _step_core(params, cfg: CaptionerConfig, state: CaptionerState,
 
 def _step_core_fused(params, cfg: CaptionerConfig, state: CaptionerState,
                      it, statics: Statics, ctrl, beam: int, fused_fn,
-                     image_descriptor, fused_w=None):
+                     image_descriptor, fused_w=None, word_head=True):
     """_step_core variant using the fused Pallas gather+attention kernel
     (ops/fused_attention.py): the region group is DMA'd and attended on-chip;
     only the attended vector and gate evidence come back. Numerically matches
@@ -280,8 +285,10 @@ def _step_core_fused(params, cfg: CaptionerConfig, state: CaptionerState,
     else:
         input_2 = jnp.concatenate([h1, att_detections], 1)
     h2, c2 = nn.lstm_cell(params["lstm_cell_2"], input_2, (state.h2, state.c2))
-    word_logits = nn.linear(params["out_fc"], h2).astype(jnp.float32)
-    word_logp = jax.nn.log_softmax(word_logits, axis=-1)
+    word_logp = None
+    if word_head:
+        word_logits = nn.linear(params["out_fc"], h2).astype(jnp.float32)
+        word_logp = jax.nn.log_softmax(word_logits, axis=-1)
 
     if g_pre_x is None:
         g_pre_x = nn.linear(params["W1_ig"], input_1)
@@ -450,3 +457,94 @@ def captioner_step_v(params, cfg: CaptionerConfig, state: CaptionerState,
     word_logp, gate_logp = substitute_verb(word_logp, gate_logp, verb_curr,
                                            tense_table, gt)
     return (word_logp, gate_logp), CaptionerState(h1, c1, h2, c2, ctrl)
+
+
+def _verb_target(params, h2, verb_curr, tense_table: Optional[VerbTenseTable],
+                 gt: bool, vocab_size: int):
+    """Substitution target word per row WITHOUT dense logits: gathers only
+    the tense-candidate columns of out_fc (same argmax as substitute_verb —
+    subtracting the per-row lse does not change the argmax)."""
+    if gt:
+        return jnp.clip(verb_curr, 0, vocab_size - 1)
+    assert tense_table is not None
+    cand = tense_table.ids[jnp.clip(verb_curr, 0,
+                                    tense_table.ids.shape[0] - 1)]  # (B, Kt)
+    cand_valid = cand >= 0
+    safe = jnp.clip(cand, 0, vocab_size - 1)
+    w_cols = params["out_fc"]["weight"][safe]          # (B, Kt, R)
+    logits_cand = (jnp.einsum("br,bkr->bk", h2, w_cols)
+                   + params["out_fc"]["bias"][safe]).astype(jnp.float32)
+    scores = jnp.where(cand_valid, logits_cand, -jnp.inf)
+    best_k = jnp.argmax(scores, axis=1)                # first max wins
+    has_any = jnp.any(cand_valid, axis=1)
+    return jnp.where(has_any,
+                     jnp.take_along_axis(cand, best_k[:, None], axis=1)[:, 0],
+                     0)
+
+
+def captioner_step_v_topk(params, cfg: CaptionerConfig, state: CaptionerState,
+                          statics: Statics,
+                          tense_table: Optional[VerbTenseTable],
+                          vocab_fn, out_fc_tables,
+                          prev_word=None, prev_gate=None, t0=False, gt=False,
+                          beam: int = 1, k: int = 5, fused_fn=None,
+                          fused_w=None):
+    """captioner_step_v variant emitting the compact candidate set consumed
+    by decode.beam.beam_search_joint_candidates instead of dense word_logp.
+
+    vocab_fn(h2, w_t, bias) -> (vals (B,k), ids (B,k), lse (B,1)) — either
+    ops.vocab_topk.vocab_topk_lse_xla or the streaming Pallas kernel.
+    out_fc_tables: (w_t, bias) possibly pre-padded via fn.prepare_tables.
+    Returns ((cand_ids (B, k+1), cand_wlp (B, k+1), gate_logp), state).
+    """
+    b = state.h1.shape[0]
+    v = cfg.vocab_size
+    if t0:
+        it = jnp.full((b,), cfg.bos_idx, jnp.int32)
+        ctrl = state.ctrl_det_idx
+    else:
+        it = prev_word
+        ctrl = jnp.clip(state.ctrl_det_idx + prev_gate, 0,
+                        statics.det_groups.shape[1] - 1)
+    image_descriptor, verb_list = _per_row(statics, beam, b)
+    verb_curr = jnp.take_along_axis(
+        verb_list, ctrl[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+    if fused_fn is not None:
+        (_, gate_logp), (h1, c1, h2, c2) = _step_core_fused(
+            params, cfg, state, it, statics, ctrl, beam, fused_fn,
+            image_descriptor, fused_w=fused_w, word_head=False)
+    else:
+        det_curr, det_proj, det_mask = _gather_group(statics, ctrl, beam)
+        (_, gate_logp), (h1, c1, h2, c2) = _step_core(
+            params, cfg, state, it, det_curr, det_proj, det_mask,
+            image_descriptor, word_head=False)
+
+    w_t, bias = out_fc_tables
+    vals, ids, lse = vocab_fn(h2, w_t, bias)
+    wlp_topk = vals - lse                                      # (B, k)
+
+    # normal rows: top-k words + an inert slot (id 0, -inf)
+    norm_ids = jnp.concatenate(
+        [ids, jnp.zeros((b, 1), jnp.int32)], axis=1)           # (B, k+1)
+    norm_wlp = jnp.concatenate(
+        [wlp_topk, jnp.full((b, 1), -jnp.inf)], axis=1)
+
+    # verb rows: forced tense word (logp 0) + the k lowest ids excluding the
+    # target (logp -1e6) — reproduces substitute_verb's sea + flat tie order
+    tgt = _verb_target(params, h2, verb_curr, tense_table, gt, v)
+    sea_base = jnp.arange(k, dtype=jnp.int32)[None, :]          # (1, k)
+    sea_ids = sea_base + (tgt[:, None] <= sea_base)             # skip tgt
+    verb_ids = jnp.concatenate([tgt[:, None].astype(jnp.int32),
+                                sea_ids.astype(jnp.int32)], axis=1)
+    verb_wlp = jnp.concatenate(
+        [jnp.zeros((b, 1)), jnp.full((b, k), -1e6)], axis=1)
+
+    is_verb = (verb_curr != -1)[:, None]
+    cand_ids = jnp.where(is_verb, verb_ids, norm_ids)
+    cand_wlp = jnp.where(is_verb, verb_wlp, norm_wlp)
+
+    change_gate = jnp.array([-1e3, 0.0], gate_logp.dtype)
+    gate_out = jnp.where(is_verb, change_gate[None, :], gate_logp)
+    return ((cand_ids, cand_wlp, gate_out),
+            CaptionerState(h1, c1, h2, c2, ctrl))

@@ -1,0 +1,182 @@
+"""Fused vocab head: out_fc matmul + streaming per-row top-k + logsumexp.
+
+Motivation (profiled, docs/ENGINEERING_NOTES.md): the beam decode step's
+largest cost slice (~52 ms of 137 ms per 256-caption batch, vocab ablation)
+is the out_fc -> log_softmax -> substitute -> broadcast-add -> top_k chain
+over (rows, V) tensors. The joint (word x gate) beam top-k only ever needs,
+per decode row, the top-k word logits and the row's logsumexp (see
+decode/beam.beam_search_joint_candidates for the exactness argument), so the
+full (rows, V) logits never need to leave the chip:
+
+this kernel streams out_fc weight tiles HBM->VMEM once, computes each logits
+tile on the MXU, folds it into running (top-k values, vocab ids) and a
+running (max, sumexp) pair in VMEM, and emits only (rows, k) + (rows, 1).
+
+Tie semantics match `jax.lax.top_k`: descending values, lowest vocab id
+wins ties (the merge extracts maxima with an explicit min-id tie-break).
+
+Replaces: the reference decodes its vocab head densely every beam step
+(reference models/CaptioningModel.py:238-255 sorts the full
+(batch, beam*vocab*2) tensor on GPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def vocab_topk_lse_xla(h2, w_t, bias, k):
+    """Reference implementation (materializes logits; exact fp32 math).
+
+    h2: (rows, R); w_t: (R, V); bias: (V,) ->
+    (vals (rows, k) f32, ids (rows, k) i32, lse (rows, 1) f32)
+    """
+    logits = (jnp.dot(h2, w_t) + bias).astype(jnp.float32)
+    vals, ids = jax.lax.top_k(logits, k)
+    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    return vals, ids.astype(jnp.int32), lse
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
+                        tile_v: int = 1024, interpret: bool = False,
+                        table_dtype=jnp.float32):
+    """Build the streaming kernel for static shapes.
+
+    Returns fn(h2 (rows, R), w_t (R, V), bias (V,)) ->
+    (vals (rows, k), ids (rows, k), lse (rows, 1)); fn pads R/V internally
+    (pad once at statics construction to avoid the per-step copy: see
+    fn.prepare_tables).
+    """
+    from jax.experimental import pallas as pl
+
+    r_pad = _round_up(r, 128)
+    tile_v = min(tile_v, _round_up(v, 128))
+    v_pad = _round_up(v, tile_v)
+    n_tiles = v_pad // tile_v
+    k_pad = _round_up(k, 128)  # output lane dim
+    NEG = -1e30  # python scalar (a jnp constant would be a captured tracer)
+
+    def kernel(h2_ref, w_ref, b_ref, vals_ref, ids_ref, lse_ref,
+               run_vals, run_ids, run_m, run_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            run_vals[:] = jnp.full_like(run_vals, NEG)
+            run_ids[:] = jnp.full_like(run_ids, v)
+            run_m[:] = jnp.full_like(run_m, NEG)
+            run_s[:] = jnp.zeros_like(run_s)
+
+        logits = jnp.dot(h2_ref[:], w_ref[:],
+                         preferred_element_type=jnp.float32) + b_ref[0, :]
+
+        # running logsumexp
+        tile_max = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(run_m[:], tile_max)
+        run_s[:] = (run_s[:] * jnp.exp(run_m[:] - m_new)
+                    + jnp.sum(jnp.exp(logits - m_new), axis=-1,
+                              keepdims=True))
+        run_m[:] = m_new
+
+        # streaming top-k merge: k extract-max passes over
+        # [tile logits ; previous top-k], lowest-vocab-id tie-break
+        tile_ids = (jax.lax.broadcasted_iota(jnp.int32,
+                                             (rows, tile_v), 1)
+                    + i * tile_v)
+        cand_vals = jnp.concatenate([logits, run_vals[:]], axis=1)
+        cand_ids = jnp.concatenate([tile_ids, run_ids[:]], axis=1)
+        new_vals = []
+        new_ids = []
+        for _ in range(k):
+            mx = jnp.max(cand_vals, axis=-1, keepdims=True)      # (rows, 1)
+            sel = jnp.min(jnp.where(cand_vals >= mx, cand_ids,
+                                    v_pad + v), axis=-1,
+                          keepdims=True)                          # (rows, 1)
+            new_vals.append(mx)
+            new_ids.append(sel)
+            cand_vals = jnp.where(cand_ids == sel, NEG, cand_vals)
+        # full-lane writes (k..k_pad filled with sentinels)
+        fill = k_pad - k
+        run_vals[:] = jnp.concatenate(
+            new_vals + [jnp.full((rows, fill), NEG, jnp.float32)], axis=1)
+        run_ids[:] = jnp.concatenate(
+            new_ids + [jnp.full((rows, fill), v, jnp.int32)], axis=1)
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            vals_ref[:] = run_vals[:]
+            ids_ref[:] = run_ids[:]
+            lse_ref[:] = run_m[:] + jnp.log(run_s[:])
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((rows, r_pad), lambda i: (0, 0)),   # h2
+            pl.BlockSpec((r_pad, tile_v), lambda i: (0, i)),  # w_t tile
+            pl.BlockSpec((1, tile_v), lambda i: (0, i)),      # bias tile
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, k_pad), lambda i: (0, 0)),
+            pl.BlockSpec((rows, k_pad), lambda i: (0, 0)),
+            pl.BlockSpec((rows, 1), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((rows, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, k_pad), jnp.float32),
+            pltpu.VMEM((rows, k_pad), jnp.int32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def prepare_tables(w_t, bias):
+        """Pad (R, V) weights/bias once; padded vocab columns get -1e30 bias
+        so they can never be selected and add 0 to the sumexp."""
+        w_p = jnp.zeros((r_pad, v_pad), table_dtype)
+        w_p = w_p.at[:r, :v].set(w_t.astype(table_dtype))
+        b_p = jnp.full((1, v_pad), NEG, jnp.float32)
+        b_p = b_p.at[0, :v].set(bias.astype(jnp.float32))
+        return w_p, b_p
+
+    def fn(h2, w_t, bias):
+        if w_t.shape != (r_pad, v_pad):
+            w_t, bias = prepare_tables(w_t, bias)
+        elif bias.ndim == 1:
+            bias = bias.reshape(1, -1)
+        if h2.shape[-1] != r_pad:
+            h2 = jnp.pad(h2, ((0, 0), (0, r_pad - h2.shape[-1])))
+        vals, ids, lse = call(h2, w_t, bias)
+        return vals[:, :k], ids[:, :k], lse
+
+    fn.prepare_tables = prepare_tables
+    fn.r_pad = r_pad
+    fn.v_pad = v_pad
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_kernel(rows, r, v, k, tile_v, interpret, table_dtype_name):
+    return make_vocab_topk_lse(rows, r, v, k, tile_v=tile_v,
+                               interpret=interpret,
+                               table_dtype=jnp.dtype(table_dtype_name))
+
+
+def get_vocab_topk(rows, r, v, k, tile_v=1024, interpret=False,
+                   table_dtype=jnp.float32):
+    return _cached_kernel(rows, r, v, k, tile_v, interpret,
+                          np.dtype(table_dtype).name)
