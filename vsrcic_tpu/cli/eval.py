@@ -70,8 +70,11 @@ def main(argv=None):
     ds = DictionaryDataset(test_ex, {"image": image_field,
                                      "detection": det_field,
                                      "text": RawField()}, "image")
-    loader = DataLoader(ds, batch_size=opt.batch_size,
-                        num_workers=opt.nb_workers)
+    from vsrcic_tpu.data import PrefetchLoader
+    loader = PrefetchLoader(
+        DataLoader(ds, batch_size=opt.batch_size,
+                   num_workers=opt.nb_workers),
+        depth=2)  # field preprocess of batch k+1 overlaps batch k's decode
 
     # models
     cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),

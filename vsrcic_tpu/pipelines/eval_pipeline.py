@@ -67,13 +67,16 @@ class EvalPipeline:
                                       mode="not-normal"))
         self._sinkhorn = jax.jit(
             lambda x: sinkhorn_net_apply(sinkhorn_params, sinkhorn_cfg, x))
+        self._build_recons = jax.jit(self._build_recons_impl)
 
     # ------------------------------------------------------------------
-    def plan_batch(self, jobs: Sequence[CaptionJob]
-                   ) -> Tuple[np.ndarray, np.ndarray]:
-        """All jobs -> (recons (P, L, M, D), verb_lists (P, L)).
+    def plan_rank_batch(self, jobs: Sequence[CaptionJob]
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All jobs -> (rank_idx (P, L) int32, rank_valid (P, L) bool,
+        verb_lists (P, L)) — the metadata-sized plan; features are permuted
+        on device from these indices (see plan_batch/_build_recons_impl).
 
-        Composition per job mirrors eval_coco.py:127-237 but with the planner
+        Composition per job mirrors eval_coco.py:127-219 with the planner
         and Sinkhorn batched across jobs.
         """
         # -- phase A: extract verb groups (host) -------------------------
@@ -123,11 +126,11 @@ class EvalPipeline:
                 order = np.argsort(sr_re)
                 sr_rank[(gi, sr)] = [locs[int(o)] for o in order]
 
-        # -- phase D: rank assembly + merge + permutation (host) ----------
+        # -- phase D: rank assembly + merge (host, metadata-sized) ---------
         L = self.fixed_len
         n_jobs = len(jobs)
-        shape_all = jobs[0].seqs_all.shape
-        recons_all = np.zeros((n_jobs,) + shape_all)
+        rank_idx = np.zeros((n_jobs, L), np.int32)
+        rank_valid = np.zeros((n_jobs, L), bool)
         verb_lists = np.full((n_jobs, L), -1.0)
 
         per_job_ranks: List[List[List[float]]] = [[] for _ in range(n_jobs)]
@@ -153,31 +156,62 @@ class EvalPipeline:
                 final_rank = ranks[0]
                 for extra in ranks[1:]:
                     final_rank = verb_rank_merge(final_rank, extra)
-
-            perm_matrix = np.zeros((L, L))
             for j, rk in enumerate(final_rank):
                 if j < L:
-                    perm_matrix[j, int(rk)] = 1
-            flat = np.reshape(job.seqs_all, (job.seqs_all.shape[0], -1))
-            recons = np.dot(perm_matrix, flat)
-            recons = np.reshape(recons, job.seqs_all.shape)
-            recons = recons[np.sum(recons, (1, 2)) != 0]
-            if recons.shape[0] > 0:
-                last = recons.shape[0] - 1
-                recons_all[p, :recons.shape[0]] = recons
-                recons_all[p, last + 1:] = recons[last:last + 1]
-            perm_mask = (np.sum(perm_matrix, -1) == 0).astype(int)
-            verb_lists[p] = (-1 * perm_mask[:, np.newaxis]
-                             + np.dot(perm_matrix, job.verb_list)).squeeze(-1)
+                    rank_idx[p, j] = int(rk)
+                    rank_valid[p, j] = True
+            # verb_list permuted on host (metadata-sized; exact perm math)
+            vl = np.full((L,), -1.0)
+            vl[rank_valid[p]] = np.asarray(job.verb_list).squeeze(-1)[
+                rank_idx[p][rank_valid[p]]]
+            verb_lists[p] = vl
+        return rank_idx, rank_valid, verb_lists
 
-        return recons_all.astype(np.float32), verb_lists
+    def plan_batch(self, jobs: Sequence[CaptionJob]
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """All jobs -> (recons (P, L, M, D), verb_lists (P, L)).
+
+        Composition per job mirrors eval_coco.py:127-237 but with the planner
+        and Sinkhorn batched across jobs and the feature permutation built on
+        DEVICE from the (rank, valid) indices: each perm-matrix row has one 1,
+        so the gather equals the reference's `perm_matrix @ flat` exactly
+        (ref eval_coco.py:222-231), without materializing (P, L, M, D) on the
+        host or re-shipping it per batch.
+        """
+        rank_idx, rank_valid, verb_lists = self.plan_rank_batch(jobs)
+        seqs_all = jnp.asarray(np.stack([j.seqs_all for j in jobs]))
+        recons = self._build_recons(seqs_all, jnp.asarray(rank_idx),
+                                    jnp.asarray(rank_valid))
+        return np.asarray(recons), verb_lists
+
+    @staticmethod
+    def _build_recons_impl(seqs_all, rank_idx, rank_valid):
+        """Device recons: gather rows by rank, drop all-zero rows compacting
+        to the front (stable), fill the tail with the last non-zero row —
+        semantics of ref eval_coco.py:229-237."""
+        P, L = rank_idx.shape
+        gathered = jnp.take_along_axis(
+            seqs_all, rank_idx[:, :, None, None], axis=1)
+        gathered = jnp.where(rank_valid[:, :, None, None], gathered, 0.0)
+        nz = jnp.sum(gathered, (2, 3)) != 0                       # (P, L)
+        order = jnp.argsort(jnp.logical_not(nz), axis=1,
+                            stable=True)                          # nz first
+        compact = jnp.take_along_axis(gathered, order[:, :, None, None], 1)
+        n = jnp.sum(nz, axis=1)                                   # (P,)
+        last = jnp.clip(n - 1, 0, L - 1)
+        rows = jnp.arange(L)[None, :]
+        src = jnp.where(rows < n[:, None], rows, last[:, None])
+        return jnp.take_along_axis(compact, src[:, :, None, None], 1)
 
     # ------------------------------------------------------------------
     def run_batch(self, detections_per_job: np.ndarray,
                   jobs: Sequence[CaptionJob]) -> np.ndarray:
         """detections_per_job: (P, N, D) raw detections (image's detections
         repeated per caption). Returns best-beam words (P, T)."""
-        recons, verb_lists = self.plan_batch(jobs)
+        rank_idx, rank_valid, verb_lists = self.plan_rank_batch(jobs)
+        seqs_all = jnp.asarray(np.stack([j.seqs_all for j in jobs]))
+        recons = self._build_recons(seqs_all, jnp.asarray(rank_idx),
+                                    jnp.asarray(rank_valid))
         res = self.captioner.beam_search_v(
             detections_per_job, recons, verb_lists, eos_word=self.eos_word,
             beam_size=self.beam_size, gt=self.gt)
