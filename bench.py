@@ -37,12 +37,15 @@ def main():
 
     key = jax.random.PRNGKey(0)
     import os
+    vocab_topk = os.environ.get("VSRCIC_VOCAB_TOPK", "1")
+    vocab_topk = {"0": False, "1": True, "xla": "xla"}[vocab_topk]
     captioner = ControllableCaptioner(
         cfg, key=key,
         verb_2_vob_all={str(i): [5 + i, 40 + i] for i in range(1, 200)},
         use_fused_attention=bool(int(os.environ.get("VSRCIC_FUSED_ATT", "1")))
         and on_tpu,
-        table_dtype=jnp.bfloat16 if on_tpu else None)
+        table_dtype=jnp.bfloat16 if on_tpu else None,
+        use_vocab_topk=vocab_topk if on_tpu else False)
 
     kd, kg, kv = jax.random.split(key, 3)
     detections = jax.random.normal(kd, (batch, N_DET, cfg.det_feat_size),

@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--fused", type=int, default=1)
     ap.add_argument("--bf16_tables", type=int, default=1)
+    ap.add_argument("--vocab_topk", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -89,7 +90,8 @@ def main():
         verb_2_vob_all={str(i): [5 + i % 30, 40 + i % 30]
                         for i in range(1, 200)},
         use_fused_attention=bool(args.fused) and on_tpu,
-        table_dtype=jnp.bfloat16 if (args.bf16_tables and on_tpu) else None)
+        table_dtype=jnp.bfloat16 if (args.bf16_tables and on_tpu) else None,
+        use_vocab_topk=bool(args.vocab_topk) and on_tpu)
     ssp_cfg = (SSPConfig(dataset="coco") if on_tpu
                else SSPConfig(hidden_size=32, embed_size=32))
     ssp_params = init_ssp_params(jax.random.PRNGKey(1), ssp_cfg)
@@ -112,13 +114,14 @@ def main():
     # not the pipeline (see docs/ENGINEERING_NOTES.md)
     import jax.numpy as jnp
     seqs_all_dev = jnp.asarray(np.stack([j.seqs_all for j in jobs]))
+    sink_feats = pipe.stage_job_feats(jobs)
     dets_dev = jnp.asarray(dets)
 
     def run_once():
         t0 = time.perf_counter()
-        rank_idx, rank_valid, vls = pipe.plan_rank_batch(jobs)
-        recons = pipe._build_recons(seqs_all_dev, jnp.asarray(rank_idx),
-                                    jnp.asarray(rank_valid))
+        recons, vls = pipe.plan_batch_device(jobs, seqs_all=seqs_all_dev,
+                                             sink_feats=sink_feats)
+        jax.block_until_ready(recons)
         t1 = time.perf_counter()
         res = pipe.captioner.beam_search_v(
             dets_dev, recons, vls, eos_word=3, beam_size=args.beam)

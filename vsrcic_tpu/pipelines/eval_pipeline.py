@@ -65,12 +65,31 @@ class EvalPipeline:
         self._ssp_gen = jax.jit(
             lambda v, d: ssp_generate(ssp_params, ssp_cfg, v, d,
                                       mode="not-normal"))
-        self._sinkhorn = jax.jit(
-            lambda x: sinkhorn_net_apply(sinkhorn_params, sinkhorn_cfg, x))
         self._build_recons = jax.jit(self._build_recons_impl)
 
+        def sinkhorn_gather(vis, txt, pos, owner, locs, valid):
+            """Assemble sinkhorn inputs ON DEVICE: row j of sink input s is
+            concat(vis,txt,pos)[owner[s], locs[s, j]] for valid j, else 0 —
+            exactly the reference's per-SR copy loop (eval_coco.py:178-183)
+            without the host materialization + duplicated transfer."""
+            feats = jnp.concatenate([vis, txt, pos], -1)   # (P, L, F)
+            rows = feats[owner[:, None], locs]             # (S, n, F)
+            return sinkhorn_net_apply(
+                sinkhorn_params, sinkhorn_cfg,
+                jnp.where(valid[:, :, None], rows, 0.0))
+
+        self._sinkhorn_gather = jax.jit(sinkhorn_gather)
+
     # ------------------------------------------------------------------
-    def plan_rank_batch(self, jobs: Sequence[CaptionJob]
+    def stage_job_feats(self, jobs: Sequence[CaptionJob]):
+        """Device-stage the per-job (vis, txt, pos) tensors the Sinkhorn
+        inputs are gathered from. Callers iterating over the same jobs can
+        stage once and pass the result to plan/run (`sink_feats=`)."""
+        return (jnp.asarray(np.stack([j.seqs_vis for j in jobs])),
+                jnp.asarray(np.stack([j.seqs_txt for j in jobs])),
+                jnp.asarray(np.stack([j.seqs_pos for j in jobs])))
+
+    def plan_rank_batch(self, jobs: Sequence[CaptionJob], sink_feats=None
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All jobs -> (rank_idx (P, L) int32, rank_valid (P, L) bool,
         verb_lists (P, L)) — the metadata-sized plan; features are permuted
@@ -97,28 +116,29 @@ class EvalPipeline:
         else:
             preds = np.zeros((0, self.ssp_cfg.max_len), np.int32)
 
-        # -- phase C: one batched Sinkhorn call + host assignment ---------
+        # -- phase C: device-gathered batched Sinkhorn + host assignment ---
         sink_jobs: List[Tuple[int, int, List[int]]] = []  # (group_i, sr, locs)
-        sink_inputs: List[np.ndarray] = []
         for gi, g in enumerate(all_groups):
-            job = jobs[group_owner[gi]]
-            perm_feats = np.concatenate(
-                [job.seqs_vis, job.seqs_txt, job.seqs_pos], -1)
             for sr in g.need_re_rank:
-                locs = g.sr_find[sr]
-                x = np.zeros((self.sinkhorn_len, perm_feats.shape[-1]),
-                             np.float32)
-                for j, loc in enumerate(locs):
-                    if j >= self.sinkhorn_len:
-                        continue
-                    x[j] = perm_feats[loc]
-                sink_jobs.append((gi, sr, locs))
-                sink_inputs.append(x)
+                sink_jobs.append((gi, sr, g.sr_find[sr]))
 
         sr_rank: Dict[Tuple[int, int], List[int]] = {}
-        if sink_inputs:
-            P_soft = np.asarray(self._sinkhorn(
-                jnp.asarray(np.stack(sink_inputs))))
+        if sink_jobs:
+            n = self.sinkhorn_len
+            S = len(sink_jobs)
+            owner = np.asarray([group_owner[gi] for gi, _, _ in sink_jobs],
+                               np.int32)
+            locs_pad = np.zeros((S, n), np.int32)
+            valid = np.zeros((S, n), bool)
+            for s, (_, _, locs) in enumerate(sink_jobs):
+                m = min(len(locs), n)
+                locs_pad[s, :m] = locs[:m]
+                valid[s, :m] = True
+            if sink_feats is None:
+                sink_feats = self.stage_job_feats(jobs)
+            P_soft = np.asarray(self._sinkhorn_gather(
+                *sink_feats, jnp.asarray(owner), jnp.asarray(locs_pad),
+                jnp.asarray(valid)))
             # profit = P^T as in the reference (eval_coco.py:185)
             assign = hungarian_assign(np.transpose(P_soft, (0, 2, 1)))
             for (gi, sr, locs), ass in zip(sink_jobs, assign):
@@ -184,6 +204,18 @@ class EvalPipeline:
                                     jnp.asarray(rank_valid))
         return np.asarray(recons), verb_lists
 
+    def plan_batch_device(self, jobs, seqs_all=None, sink_feats=None):
+        """plan_rank_batch + device recons, keeping everything on device.
+        seqs_all: pre-staged (P, L, M, D) device array (staged here if None).
+        Returns (recons device array, verb_lists host array)."""
+        rank_idx, rank_valid, verb_lists = self.plan_rank_batch(
+            jobs, sink_feats=sink_feats)
+        if seqs_all is None:
+            seqs_all = jnp.asarray(np.stack([j.seqs_all for j in jobs]))
+        recons = self._build_recons(seqs_all, jnp.asarray(rank_idx),
+                                    jnp.asarray(rank_valid))
+        return recons, verb_lists
+
     @staticmethod
     def _build_recons_impl(seqs_all, rank_idx, rank_valid):
         """Device recons: gather rows by rank, drop all-zero rows compacting
@@ -205,13 +237,12 @@ class EvalPipeline:
 
     # ------------------------------------------------------------------
     def run_batch(self, detections_per_job: np.ndarray,
-                  jobs: Sequence[CaptionJob]) -> np.ndarray:
+                  jobs: Sequence[CaptionJob], seqs_all=None,
+                  sink_feats=None) -> np.ndarray:
         """detections_per_job: (P, N, D) raw detections (image's detections
         repeated per caption). Returns best-beam words (P, T)."""
-        rank_idx, rank_valid, verb_lists = self.plan_rank_batch(jobs)
-        seqs_all = jnp.asarray(np.stack([j.seqs_all for j in jobs]))
-        recons = self._build_recons(seqs_all, jnp.asarray(rank_idx),
-                                    jnp.asarray(rank_valid))
+        recons, verb_lists = self.plan_batch_device(
+            jobs, seqs_all=seqs_all, sink_feats=sink_feats)
         res = self.captioner.beam_search_v(
             detections_per_job, recons, verb_lists, eos_word=self.eos_word,
             beam_size=self.beam_size, gt=self.gt)
