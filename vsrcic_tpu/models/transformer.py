@@ -41,14 +41,22 @@ def _lin(key, i, o, bias=True):
     return p
 
 
-def mha_init(key, size):
-    ks = jax.random.split(key, 4)
-    return {
+RELATIVE_POS_CLIP = 2  # ref transformer_modules.py:73
+
+
+def mha_init(key, size, relative_pos=False):
+    ks = jax.random.split(key, 5)
+    p = {
         "linear_Q": _lin(ks[0], size, size),
         "linear_K": _lin(ks[1], size, size),
         "linear_V": _lin(ks[2], size, size),
         "linear_O": _lin(ks[3], size, size),
     }
+    if relative_pos:
+        p["relative_posmatrix"] = {
+            "weight": nn.xavier_uniform(ks[4],
+                                        (RELATIVE_POS_CLIP * 2 + 1, size))}
+    return p
 
 
 def mha_apply(p, query, keys, values, mask=None, n_heads=8,
@@ -56,7 +64,10 @@ def mha_apply(p, query, keys, values, mask=None, n_heads=8,
     """Multi-head attention (ref transformer_modules.py:106-134).
 
     mask: broadcastable to (B, heads, Tq, Tk); positions where mask==0 get
-    logits MASK_FILL.
+    logits MASK_FILL. When p carries "relative_posmatrix" the clipped
+    relative-position logits are added BEFORE the sqrt scaling and broadcast
+    over heads, computed from the full (unsplit) transformed query — exactly
+    ref :103-115 + KeyValAttention :39-42.
     """
     b, tq, size = query.shape
     hd = size // n_heads
@@ -64,11 +75,19 @@ def mha_apply(p, query, keys, values, mask=None, n_heads=8,
     def split_heads(x):
         return x.reshape(x.shape[0], -1, n_heads, hd).transpose(0, 2, 1, 3)
 
-    q = split_heads(nn.linear(p["linear_Q"], query))
+    tq_full = nn.linear(p["linear_Q"], query)           # (B, Tq, H)
+    q = split_heads(tq_full)
     k = split_heads(nn.linear(p["linear_K"], keys))
     v = split_heads(nn.linear(p["linear_V"], values))
 
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    if "relative_posmatrix" in p:
+        t1 = keys.shape[1]
+        rel = jnp.clip(jnp.arange(t1)[None, :] - jnp.arange(tq)[:, None],
+                       -RELATIVE_POS_CLIP, RELATIVE_POS_CLIP)
+        rpe = p["relative_posmatrix"]["weight"][rel + RELATIVE_POS_CLIP]
+        logits = logits + jnp.einsum("bqh,qkh->bqk", tq_full, rpe)[:, None]
+    logits = logits / math.sqrt(hd)
     if mask is not None:
         logits = jnp.where(mask == 0, MASK_FILL, logits)
     w = jax.nn.softmax(logits, axis=-1)
@@ -152,6 +171,43 @@ def decoder_layer_apply(p, x, x_mask, y, y_mask=None, n_heads=8,
     h3 = ff_apply(p["ff_layer"], h3, dropout_rate=dropout_rate, rng=r[4])
     h3 = _dropout(h3, dropout_rate, r[5]) + h2
     return h3
+
+
+def temporal_mask(x_or_len):
+    """(1, T, T) causal mask, 1 below/on the diagonal (ref
+    transformer_modules.py:247-269); accepts an int length or an embedding
+    (B, T, H)."""
+    t = x_or_len if isinstance(x_or_len, int) else x_or_len.shape[-2]
+    return jnp.tril(jnp.ones((1, t, t), jnp.float32))
+
+
+def generic_decoder_layer_apply(p, encoder_states, decoder_states,
+                                src_mask=None, tgt_mask=None, n_heads=8,
+                                dropout_rate=0.0, rng=None, last_only=False):
+    """The generic (upstream-unused) TransformerDecoderLayer
+    (ref transformer_modules.py:347-386), incl. its quirks: cross-attention
+    also calls `self.attention` (ref :378) and `last_only=True` computes the
+    self-attention query from only the final position (incremental decode,
+    ref :364-368). Params: decoder_layer_init."""
+    r = jax.random.split(rng, 6) if rng is not None else (None,) * 6
+    y1 = nn.layer_norm(p["layer_norm1"], decoder_states)
+    if last_only:
+        y1 = mha_apply(p["attention"], y1[:, -1:], y1, y1, mask=tgt_mask,
+                       n_heads=n_heads, dropout_rate=dropout_rate, rng=r[0])
+        y1 = _dropout(y1, dropout_rate, r[1]) + decoder_states[:, -1:]
+    else:
+        y1 = mha_apply(p["attention"], y1, y1, y1, mask=tgt_mask,
+                       n_heads=n_heads, dropout_rate=dropout_rate, rng=r[0])
+        y1 = _dropout(y1, dropout_rate, r[1]) + decoder_states
+    y2 = nn.layer_norm(p["layer_norm2"], y1)
+    y2 = mha_apply(p["attention"], y2, encoder_states, encoder_states,
+                   mask=src_mask, n_heads=n_heads, dropout_rate=dropout_rate,
+                   rng=r[2])
+    y2 = _dropout(y2, dropout_rate, r[3]) + y1
+    y3 = nn.layer_norm(p["layer_norm3"], y2)
+    y3 = ff_apply(p["ff_layer"], y3, dropout_rate=dropout_rate, rng=r[4])
+    y3 = _dropout(y3, dropout_rate, r[5]) + y2
+    return y3
 
 
 def positional_encoding(length, size, dtype=jnp.float32):
