@@ -77,14 +77,17 @@ def ckpts(tmp_path_factory):
                 ssp_pth=ssp_pth, sink_pth=sink_pth)
 
 
-def make_jobs(seed=0):
+def make_jobs(seed=0, verb_offset=0):
     """Per-(image,caption) control inputs shaped like D9 field outputs.
 
     Two images x two captions. Verb ids are planner codes (verb_2_idx+1);
     they appear in control_verb, in the det_seqs_v grid, and (for the V=25
     slot) in verb_list. SR 2 is shared by two slots under verb 5 -> exercises
     the Sinkhorn + Hungarian re-rank path; job 1 carries two verbs ->
-    exercises verb_rank_merge.
+    exercises verb_rank_merge. verb_offset: Flickr encodes occurrence as
+    +10000*occ on the planner codes (ref field.py:844-845) — applied to the
+    grid/control codes (NOT the captioner verb_list, which stays plain,
+    ref field.py:1199-1201).
     """
     rng = np.random.RandomState(seed)
     jobs, dets = [], []
@@ -109,12 +112,13 @@ def make_jobs(seed=0):
             seq_sr[3, 0] = 25.0
             verb_list[3, 0] = 5.0
         else:
-            control_verb[0], control_verb[1] = 5.0, 9.0
+            v2_code = 9.0 + verb_offset  # flickr: 2nd occurrence-style code
+            control_verb[0], control_verb[1] = 5.0, v2_code
             seq_v[0, 0] = seq_v[1, 0] = seq_v[2, 0] = 5.0
             seq_sr[0, 0], seq_sr[1, 0], seq_sr[2, 0] = 1.0, 2.0, 25.0
             verb_list[2, 0] = 5.0
             # verb 9 shares slot 1 and adds slots 4,5 (incl. its own V slot)
-            seq_v[1, 1] = seq_v[4, 0] = seq_v[5, 0] = 9.0
+            seq_v[1, 1] = seq_v[4, 0] = seq_v[5, 0] = v2_code
             seq_sr[1, 1], seq_sr[4, 0], seq_sr[5, 0] = 7.0, 1.0, 25.0
             verb_list[5, 0] = 9.0
 
@@ -259,6 +263,37 @@ def test_pth_to_captions_parity(ckpts, gt):
                                err_msg="planned region groups differ")
     np.testing.assert_array_equal(vls, ref_vl)
 
+    words = pipe.run_batch(dets, jobs)
+    np.testing.assert_array_equal(np.asarray(words), ref_words)
+
+
+def test_flickr_composition_parity(ckpts, tmp_path):
+    """Flickr flavor (eval_flickr.py:120-262): S_SSP(dataset='flickr'),
+    verb codes carrying the +10000*occurrence offset through group
+    extraction and the planner's %10000 strip."""
+    torch.manual_seed(3)
+    ssp_f = load_reference_ssp(dataset="flickr")
+    ssp_pth = str(tmp_path / "model-tr-flickr.pth")
+    torch.save(ssp_f.state_dict(), ssp_pth)
+
+    cfg = CaptionerConfig(seq_len=T, vocab_size=V, bos_idx=BOS,
+                          det_feat_size=D, input_encoding_size=E,
+                          rnn_size=R, att_size=A)
+    captioner = ControllableCaptioner(
+        cfg, params=import_torch_state_dict(ckpts["cap_pth"]),
+        verb_2_vob_all=VERB_TABLE)
+    pipe = EvalPipeline(captioner, import_torch_state_dict(ssp_pth),
+                        SSPConfig(dataset="flickr"),
+                        import_torch_state_dict(ckpts["sink_pth"]),
+                        SinkhornConfig(n=10, n_iters=20, tau=0.1),
+                        eos_word=EOS, beam_size=BEAM)
+
+    jobs, dets = make_jobs(seed=4, verb_offset=10000)
+    ref_words, ref_recons, ref_vl = reference_eval(
+        ckpts["cap"], ssp_f, ckpts["sink"], jobs, dets)
+    recons, vls = pipe.plan_batch(jobs)
+    np.testing.assert_allclose(recons, ref_recons, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(vls, ref_vl)
     words = pipe.run_batch(dets, jobs)
     np.testing.assert_array_equal(np.asarray(words), ref_words)
 
