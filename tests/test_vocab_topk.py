@@ -125,3 +125,20 @@ def test_candidate_beam_matches_reference_torch():
                             eos_word=EOS, beam_size=beam)
     np.testing.assert_array_equal(np.asarray(rc.words), outs_t[0].numpy())
     np.testing.assert_array_equal(np.asarray(rc.gates), outs_t[1].numpy())
+
+
+def test_kernel_row_blocking_matches():
+    """Multi-row-block grid (large batches exceed the 16MB scoped VMEM with
+    a single block) must equal the reference."""
+    rng = np.random.RandomState(2)
+    rows, r, v, k = 24, 16, 260, 4
+    h2 = jnp.asarray(rng.randn(rows, r).astype(np.float32))
+    w_t = jnp.asarray(rng.randn(r, v).astype(np.float32))
+    b = jnp.asarray(rng.randn(v).astype(np.float32))
+    v1, i1, l1 = vocab_topk_lse_xla(h2, w_t, b, k)
+    fn = make_vocab_topk_lse(rows, r, v, k, tile_v=128, tile_rows=8,
+                             interpret=True)
+    v2, i2, l2 = fn(h2, w_t, b)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)

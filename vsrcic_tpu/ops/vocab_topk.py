@@ -45,14 +45,17 @@ def _round_up(x, m):
 
 
 def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
-                        tile_v: int = 1024, interpret: bool = False,
+                        tile_v: int = 1024, tile_rows: int = 1280,
+                        interpret: bool = False,
                         table_dtype=jnp.float32):
     """Build the streaming kernel for static shapes.
 
     Returns fn(h2 (rows, R), w_t (R, V), bias (V,)) ->
     (vals (rows, k), ids (rows, k), lse (rows, 1)); fn pads R/V internally
     (pad once at statics construction to avoid the per-step copy: see
-    fn.prepare_tables).
+    fn.prepare_tables). Rows are processed in blocks of `tile_rows`
+    (bounds the VMEM working set; weight tiles are re-streamed per row
+    block).
     """
     from jax.experimental import pallas as pl
 
@@ -60,12 +63,17 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
     tile_v = min(tile_v, _round_up(v, 128))
     v_pad = _round_up(v, tile_v)
     n_tiles = v_pad // tile_v
+    if rows % tile_rows:
+        tile_rows = next(t for t in range(min(tile_rows, rows), 0, -1)
+                         if rows % t == 0)
+    n_row_blocks = rows // tile_rows
+    rows_blk = tile_rows
     k_pad = _round_up(k, 128)  # output lane dim
     NEG = -1e30  # python scalar (a jnp constant would be a captured tracer)
 
     def kernel(h2_ref, w_ref, b_ref, vals_ref, ids_ref, lse_ref,
                run_vals, run_ids, run_m, run_s):
-        i = pl.program_id(0)
+        i = pl.program_id(1)  # vocab tile (minor grid dim)
 
         @pl.when(i == 0)
         def _():
@@ -88,7 +96,7 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
         # streaming top-k merge: k extract-max passes over
         # [tile logits ; previous top-k], lowest-vocab-id tie-break
         tile_ids = (jax.lax.broadcasted_iota(jnp.int32,
-                                             (rows, tile_v), 1)
+                                             (rows_blk, tile_v), 1)
                     + i * tile_v)
         cand_vals = jnp.concatenate([logits, run_vals[:]], axis=1)
         cand_ids = jnp.concatenate([tile_ids, run_ids[:]], axis=1)
@@ -105,9 +113,9 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
         # full-lane writes (k..k_pad filled with sentinels)
         fill = k_pad - k
         run_vals[:] = jnp.concatenate(
-            new_vals + [jnp.full((rows, fill), NEG, jnp.float32)], axis=1)
+            new_vals + [jnp.full((rows_blk, fill), NEG, jnp.float32)], axis=1)
         run_ids[:] = jnp.concatenate(
-            new_ids + [jnp.full((rows, fill), v, jnp.int32)], axis=1)
+            new_ids + [jnp.full((rows_blk, fill), v, jnp.int32)], axis=1)
 
         @pl.when(i == n_tiles - 1)
         def _():
@@ -119,16 +127,16 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
 
     call = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_row_blocks, n_tiles),
         in_specs=[
-            pl.BlockSpec((rows, r_pad), lambda i: (0, 0)),   # h2
-            pl.BlockSpec((r_pad, tile_v), lambda i: (0, i)),  # w_t tile
-            pl.BlockSpec((1, tile_v), lambda i: (0, i)),      # bias tile
+            pl.BlockSpec((rows_blk, r_pad), lambda b, i: (b, 0)),    # h2
+            pl.BlockSpec((r_pad, tile_v), lambda b, i: (0, i)),      # w_t
+            pl.BlockSpec((1, tile_v), lambda b, i: (0, i)),          # bias
         ],
         out_specs=[
-            pl.BlockSpec((rows, k_pad), lambda i: (0, 0)),
-            pl.BlockSpec((rows, k_pad), lambda i: (0, 0)),
-            pl.BlockSpec((rows, 1), lambda i: (0, 0)),
+            pl.BlockSpec((rows_blk, k_pad), lambda b, i: (b, 0)),
+            pl.BlockSpec((rows_blk, k_pad), lambda b, i: (b, 0)),
+            pl.BlockSpec((rows_blk, 1), lambda b, i: (b, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, k_pad), jnp.float32),
@@ -136,10 +144,10 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, k_pad), jnp.float32),
-            pltpu.VMEM((rows, k_pad), jnp.int32),
-            pltpu.VMEM((rows, 1), jnp.float32),
-            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows_blk, k_pad), jnp.float32),
+            pltpu.VMEM((rows_blk, k_pad), jnp.int32),
+            pltpu.VMEM((rows_blk, 1), jnp.float32),
+            pltpu.VMEM((rows_blk, 1), jnp.float32),
         ],
         interpret=interpret,
     )
