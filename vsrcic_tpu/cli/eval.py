@@ -34,6 +34,9 @@ def main(argv=None):
                    help="use the fused Pallas attention kernel (TPU)")
     p.add_argument("--bf16_tables", action="store_true",
                    help="store beam statics tables in bf16 (TPU fast path)")
+    p.add_argument("--vocab_topk", action="store_true",
+                   help="use the streaming vocab top-k Pallas kernel + "
+                   "candidate beam (TPU fast path)")
     opt = p.parse_args(argv)
     print(opt)
     force_platform(opt.platform)
@@ -91,7 +94,8 @@ def main(argv=None):
         cfg, params=cap_params, key=jax.random.PRNGKey(opt.seed),
         verb_2_vob_all=world.verb_2_vob_all,
         use_fused_attention=opt.fused,
-        table_dtype=jnp.bfloat16 if opt.bf16_tables else None)
+        table_dtype=jnp.bfloat16 if opt.bf16_tables else None,
+        use_vocab_topk=opt.vocab_topk)
 
     ssp_cfg = SSPConfig(dataset=opt.dataset)
     if opt.ssp_ckpt:
@@ -120,6 +124,7 @@ def main(argv=None):
                         beam_size=opt.beam_size, gt=opt.gt)
 
     predictions, gt_captions = [], []
+    pending = None  # beam(k) computes while plan(k+1) runs on host
     t0 = time.time()
     for keys, values in loader:
         detections, img_ids = keys
@@ -134,8 +139,12 @@ def main(argv=None):
                     det_seqs_sr=seq_sr, verb_list=vl))
                 det_per_job.append(detections[i])
                 gt_captions.append(cap)
-        words = pipe.run_batch(np.stack(det_per_job), jobs)
-        predictions.extend(list(words))
+        words = pipe.submit_batch(np.stack(det_per_job), jobs)
+        if pending is not None:
+            predictions.extend(list(np.asarray(pending)))
+        pending = words
+    if pending is not None:
+        predictions.extend(list(np.asarray(pending)))
     dt = time.time() - t0
     print("decoded %d captions in %.2fs (%.1f captions/s)"
           % (len(predictions), dt, len(predictions) / max(dt, 1e-9)))

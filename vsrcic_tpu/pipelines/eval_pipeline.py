@@ -236,14 +236,26 @@ class EvalPipeline:
         return jnp.take_along_axis(compact, src[:, :, None, None], 1)
 
     # ------------------------------------------------------------------
-    def run_batch(self, detections_per_job: np.ndarray,
-                  jobs: Sequence[CaptionJob], seqs_all=None,
-                  sink_feats=None) -> np.ndarray:
-        """detections_per_job: (P, N, D) raw detections (image's detections
-        repeated per caption). Returns best-beam words (P, T)."""
+    def submit_batch(self, detections_per_job: np.ndarray,
+                     jobs: Sequence[CaptionJob], seqs_all=None,
+                     sink_feats=None):
+        """Plan + dispatch the beam WITHOUT materializing the result: the
+        returned (P, T) device array is still computing, so the caller can
+        overlap the next batch's plan phase (host loops + planner/Sinkhorn
+        round trips) with this batch's beam — a software pipeline the
+        reference's strictly sequential per-caption loop cannot express."""
         recons, verb_lists = self.plan_batch_device(
             jobs, seqs_all=seqs_all, sink_feats=sink_feats)
         res = self.captioner.beam_search_v(
             detections_per_job, recons, verb_lists, eos_word=self.eos_word,
             beam_size=self.beam_size, gt=self.gt)
-        return np.asarray(res.words[:, 0])
+        return res.words[:, 0]
+
+    def run_batch(self, detections_per_job: np.ndarray,
+                  jobs: Sequence[CaptionJob], seqs_all=None,
+                  sink_feats=None) -> np.ndarray:
+        """detections_per_job: (P, N, D) raw detections (image's detections
+        repeated per caption). Returns best-beam words (P, T)."""
+        return np.asarray(self.submit_batch(
+            detections_per_job, jobs, seqs_all=seqs_all,
+            sink_feats=sink_feats))
