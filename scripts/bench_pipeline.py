@@ -138,6 +138,22 @@ def main():
     t_plan /= iters
     t_total /= iters
 
+    # software-pipelined steady state (eval CLI mode): beam(k) computes on
+    # device while plan(k+1) runs; only materialize the previous result
+    pending = None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        words = pipe.submit_batch(dets_dev, jobs, seqs_all=seqs_all_dev,
+                                  sink_feats=sink_feats)
+        if pending is not None:
+            np.asarray(pending)
+        pending = words
+    np.asarray(pending)
+    t_piped = (time.perf_counter() - t0) / iters
+
+    # single-chip finding: interleaved submission is SLOWER than sequential
+    # (plan's device calls queue behind the in-flight beam; only plan's
+    # ~15 ms host slice can overlap) — report sequential as primary
     print(json.dumps({
         "metric": "pipeline_captions_per_sec_per_chip",
         "value": round(n_jobs / t_total, 2),
@@ -145,6 +161,7 @@ def main():
         "jobs_per_batch": n_jobs,
         "plan_ms": round(t_plan * 1e3, 2),
         "beam_ms": round((t_total - t_plan) * 1e3, 2),
+        "pipelined_caps_per_s": round(n_jobs / t_piped, 2),
         "beam_size": args.beam,
     }))
 
