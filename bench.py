@@ -40,8 +40,11 @@ def main():
 
     key = jax.random.PRNGKey(0)
     import os
-    vocab_topk = os.environ.get("VSRCIC_VOCAB_TOPK", "1")
-    vocab_topk = {"0": False, "1": True, "xla": "xla"}[vocab_topk]
+    raw = os.environ.get("VSRCIC_VOCAB_TOPK", "1")
+    vocab_topk = {"0": False, "1": True, "xla": "xla"}.get(raw)
+    if vocab_topk is None:
+        raise SystemExit("VSRCIC_VOCAB_TOPK must be one of 0|1|xla, got %r"
+                         % raw)
     captioner = ControllableCaptioner(
         cfg, key=key,
         verb_2_vob_all={str(i): [5 + i, 40 + i] for i in range(1, 200)},

@@ -95,7 +95,11 @@ def main(argv=None):
         verb_2_vob_all=world.verb_2_vob_all,
         use_fused_attention=opt.fused,
         table_dtype=jnp.bfloat16 if opt.bf16_tables else None,
-        use_vocab_topk=opt.vocab_topk)
+        # the Pallas kernel is TPU-only; the 'xla' candidate-beam variant
+        # works on any backend
+        use_vocab_topk=(opt.vocab_topk
+                        and (True if jax.devices()[0].platform != "cpu"
+                             else "xla")))
 
     ssp_cfg = SSPConfig(dataset=opt.dataset)
     if opt.ssp_ckpt:

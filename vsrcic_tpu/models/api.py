@@ -147,8 +147,22 @@ class ControllableCaptioner:
             rows, self.cfg.rnn_size, self.cfg.vocab_size, k,
             table_dtype=self.table_dtype or jnp.float32)
 
+    def _vocab_tables(self, vocab_fn):
+        """out_fc weights transposed (+padded/cast for the Pallas kernel),
+        computed once per captioner and passed as jit args."""
+        kind = "pallas" if hasattr(vocab_fn, "prepare_tables") else "xla"
+        if getattr(self, "_vocab_tables_cache", (None, None))[0] != kind:
+            w_t = self.decode_params["out_fc"]["weight"].T
+            bias = self.decode_params["out_fc"]["bias"]
+            if kind == "pallas":
+                tables = vocab_fn.prepare_tables(w_t, bias)
+            else:
+                tables = (w_t, bias)
+            self._vocab_tables_cache = (kind, tables)
+        return self._vocab_tables_cache[1]
+
     def _beam_v_impl(self, params, detections, det_groups, verb_list,
-                     beam_size, eos_word, gt):
+                     beam_size, eos_word, gt, vocab_tables=None):
         # statics stay UNEXPANDED (per item); the steps gather per beam row
         b = detections.shape[0]
         statics, fused, fw = self._fused_statics(params, detections,
@@ -160,12 +174,10 @@ class ControllableCaptioner:
             from vsrcic_tpu.decode.beam import beam_search_joint_candidates
             from vsrcic_tpu.models.captioner import captioner_step_v_topk
             vocab_fn = self._vocab_topk_fn(b * beam_size, beam_size)
-            w_t = params["out_fc"]["weight"].T
-            bias = params["out_fc"]["bias"]
-            if hasattr(vocab_fn, "prepare_tables"):
-                tables = vocab_fn.prepare_tables(w_t, bias)
-            else:
-                tables = (w_t, bias)
+            # padded+cast once per captioner, passed as jit args (in-trace
+            # prep would re-pad the (R, V) table every call; closure capture
+            # would bake a multi-MB constant into the compiled program)
+            tables = vocab_tables
 
             def step_fn(state, pw, pg, t0):
                 return captioner_step_v_topk(
@@ -225,10 +237,16 @@ class ControllableCaptioner:
 
     def beam_search_v(self, detections, det_groups, verb_list, eos_word,
                       beam_size=5, gt=False) -> BeamResult:
+        tables = None
+        if self.use_vocab_topk:
+            b = jnp.asarray(detections).shape[0]
+            tables = self._vocab_tables(
+                self._vocab_topk_fn(b * beam_size, beam_size))
         return self._beam_v(self.decode_params, jnp.asarray(detections),
                             jnp.asarray(det_groups),
                             jnp.asarray(verb_list).astype(jnp.int32),
-                            beam_size=beam_size, eos_word=eos_word, gt=gt)
+                            beam_size=beam_size, eos_word=eos_word, gt=gt,
+                            vocab_tables=tables)
 
     def beam_search(self, detections, det_groups, eos_word,
                     beam_size=5) -> BeamResult:
