@@ -51,7 +51,9 @@ def main():
         use_fused_attention=bool(int(os.environ.get("VSRCIC_FUSED_ATT", "1")))
         and on_tpu,
         table_dtype=jnp.bfloat16 if on_tpu else None,
-        use_vocab_topk=vocab_topk if on_tpu else False)
+        use_vocab_topk=vocab_topk if on_tpu else False,
+        step_dtype=(jnp.bfloat16 if on_tpu and bool(int(
+            os.environ.get("VSRCIC_STEP_BF16", "0"))) else None))
 
     kd, kg, kv = jax.random.split(key, 3)
     detections = jax.random.normal(kd, (batch, N_DET, cfg.det_feat_size),

@@ -39,7 +39,7 @@ class ControllableCaptioner:
     def __init__(self, cfg: CaptionerConfig, params=None, key=None,
                  verb_2_vob_all: Optional[Dict] = None,
                  decode_dtype=None, use_fused_attention: bool = False,
-                 table_dtype=None, use_vocab_topk=False):
+                 table_dtype=None, use_vocab_topk=False, step_dtype=None):
         """decode_dtype: cast params for decode (measured SLOWER on TPU than
         default-precision fp32 — see docs/ENGINEERING_NOTES.md; kept as an
         option). table_dtype: storage dtype for the beam statics tables
@@ -57,6 +57,9 @@ class ControllableCaptioner:
         # "xla" (reference impl, any backend) — candidate-based beam that
         # never materializes (rows, V) word logprobs
         self.use_vocab_topk = use_vocab_topk
+        # step_dtype (e.g. bf16): surgical weight-storage cast for the big
+        # decode-step matmuls (see derive_fused_step_weights); fast path
+        self.step_dtype = step_dtype
         self._fused_cache = {}
         self.decode_dtype = decode_dtype
         self.table_dtype = table_dtype
@@ -135,7 +138,8 @@ class ControllableCaptioner:
         statics = Statics(statics.image_descriptor, groups, proj,
                           statics.det_groups_mask, statics.verb_list)
         from vsrcic_tpu.models.captioner import derive_fused_step_weights
-        return statics, fused, derive_fused_step_weights(params)
+        return statics, fused, derive_fused_step_weights(
+            params, dtype=self.step_dtype)
 
     def _vocab_topk_fn(self, rows, k):
         """Streaming Pallas top-k+lse kernel (TPU) or the XLA reference."""

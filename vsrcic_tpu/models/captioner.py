@@ -97,7 +97,7 @@ def init_captioner_params(key, cfg: CaptionerConfig, dtype=jnp.float32) -> Dict[
     }
 
 
-def derive_fused_step_weights(params):
+def derive_fused_step_weights(params, dtype=None):
     """Concatenate the input_1-consuming projections (W1_is, W1_ig,
     lstm_cell_1 w_ih) into one matmul and the h1_prev-consuming ones
     (W1_hs, lstm w_hh) into another — identical dot products, 5 of the
@@ -107,6 +107,12 @@ def derive_fused_step_weights(params):
 
     x-side rows: [s-gate (R), g-gate-x (R), lstm ifgo (4R)];
     h-side rows: [s-gate (R), lstm ifgo (4R)].
+
+    dtype (e.g. bf16): also store the big step matmuls' weights (these two,
+    lstm_cell_2, s_fc) in that dtype — halves the decode step's dominant
+    weight DMA; matmuls accumulate f32, gates/softmaxes stay f32 (fast
+    path only; round-1's WHOLESALE param cast was slower — this is the
+    surgical variant).
     """
     wx = jnp.concatenate([params["W1_is"]["weight"],
                           params["W1_ig"]["weight"],
@@ -117,15 +123,35 @@ def derive_fused_step_weights(params):
                           params["lstm_cell_1"]["weight_hh"]], 0)
     bh = jnp.concatenate([params["W1_hs"]["bias"],
                           params["lstm_cell_1"]["bias_hh"]], 0)
-    return {"wx": wx, "bx": bx, "wh": wh, "bh": bh}
+    out = {"wx": wx, "bx": bx, "wh": wh, "bh": bh}
+    if dtype is not None:
+        out["wx"] = wx.astype(dtype)
+        out["wh"] = wh.astype(dtype)
+        out["w2_ih"] = params["lstm_cell_2"]["weight_ih"].astype(dtype)
+        out["w2_hh"] = params["lstm_cell_2"]["weight_hh"].astype(dtype)
+        out["b2"] = (params["lstm_cell_2"]["bias_ih"]
+                     + params["lstm_cell_2"]["bias_hh"])
+        out["sfc_w"] = params["s_fc"]["weight"].astype(dtype)
+    return out
+
+
+def _mm(x, w):
+    """x (B, I) @ w (O, I)^T in w's storage dtype, f32 accumulation."""
+    return jax.lax.dot_general(
+        x.astype(w.dtype), w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _fused_input1_block(fused_w, input_1, h1_prev, c1_prev, rnn_size):
     """Two fused passes: returns (s_gate, g_pre_x, h1, c1); the caller
     finishes g_gate = sigmoid(g_pre_x + W1_hg(h1))."""
     r = rnn_size
-    y_x = input_1 @ fused_w["wx"].T + fused_w["bx"]   # (B, 6R)
-    y_h = h1_prev @ fused_w["wh"].T + fused_w["bh"]   # (B, 5R)
+    if fused_w["wx"].dtype != input_1.dtype:  # bf16-weight fast path
+        y_x = _mm(input_1, fused_w["wx"]) + fused_w["bx"]
+        y_h = _mm(h1_prev, fused_w["wh"]) + fused_w["bh"]
+    else:
+        y_x = input_1 @ fused_w["wx"].T + fused_w["bx"]   # (B, 6R)
+        y_h = h1_prev @ fused_w["wh"].T + fused_w["bh"]   # (B, 5R)
     s_gate = jax.nn.sigmoid(y_x[:, :r] + y_h[:, :r])
     g_pre_x = y_x[:, r:2 * r]
     gates = y_x[:, 2 * r:] + y_h[:, r:]
@@ -266,7 +292,10 @@ def _step_core_fused(params, cfg: CaptionerConfig, state: CaptionerState,
         h1, c1 = nn.lstm_cell(params["lstm_cell_1"], input_1,
                               (state.h1, state.c1))
     s_t = s_gate * jnp.tanh(c1)
-    fc_sentinel = nn.linear(params["s_fc"], s_t)              # (B, D)
+    if fused_w is not None and "sfc_w" in fused_w:
+        fc_sentinel = _mm(s_t, fused_w["sfc_w"]) + params["s_fc"]["bias"]
+    else:
+        fc_sentinel = nn.linear(params["s_fc"], s_t)          # (B, D)
 
     ha = nn.linear(params["att_ha"], h1)                      # (B, A)
     sent_w = nn.linear(params["att_s"],
@@ -284,7 +313,16 @@ def _step_core_fused(params, cfg: CaptionerConfig, state: CaptionerState,
         input_2 = jnp.concatenate([h1, att_detections, image_descriptor], 1)
     else:
         input_2 = jnp.concatenate([h1, att_detections], 1)
-    h2, c2 = nn.lstm_cell(params["lstm_cell_2"], input_2, (state.h2, state.c2))
+    if fused_w is not None and "w2_ih" in fused_w:
+        gates2 = (_mm(input_2, fused_w["w2_ih"])
+                  + _mm(state.h2, fused_w["w2_hh"]) + fused_w["b2"])
+        i2, f2, g2, o2 = jnp.split(gates2, 4, axis=-1)
+        c2 = (jax.nn.sigmoid(f2) * state.c2
+              + jax.nn.sigmoid(i2) * jnp.tanh(g2))
+        h2 = jax.nn.sigmoid(o2) * jnp.tanh(c2)
+    else:
+        h2, c2 = nn.lstm_cell(params["lstm_cell_2"], input_2,
+                              (state.h2, state.c2))
     word_logp = None
     if word_head:
         word_logits = nn.linear(params["out_fc"], h2).astype(jnp.float32)
