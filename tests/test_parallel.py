@@ -69,3 +69,30 @@ def test_data_parallel_training_matches_single():
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-5, atol=1e-6)
+
+
+def test_sharded_candidate_beam_matches_single():
+    """The vocab-topk candidate beam ('xla' variant — the Pallas kernel
+    doesn't partition under GSPMD) sharded over 8 devices == single-device
+    flat beam, token-exact."""
+    cfg = CaptionerConfig(seq_len=6, vocab_size=40, bos_idx=2,
+                          det_feat_size=D, input_encoding_size=12,
+                          rnn_size=10, att_size=8)
+    flat = ControllableCaptioner(cfg, key=jax.random.PRNGKey(3),
+                                 verb_2_vob_all={"1": [5, 6]})
+    cand = ControllableCaptioner(cfg, params=flat.params,
+                                 verb_2_vob_all={"1": [5, 6]},
+                                 use_vocab_topk="xla")
+    rng = np.random.RandomState(3)
+    dets = rng.rand(B, 6, D).astype(np.float32)
+    groups = rng.rand(B, L, M, D).astype(np.float32)
+    vl = np.where(rng.rand(B, L) < 0.3, 1, -1).astype(np.int32)
+
+    single = flat.beam_search_v(dets, groups, vl, eos_word=3, beam_size=3)
+    mesh = make_mesh(n_data=8)
+    sharded = sharded_beam_search_v(cand, mesh, dets, groups, vl,
+                                    eos_word=3, beam_size=3)
+    np.testing.assert_array_equal(np.asarray(single.words),
+                                  np.asarray(sharded.words))
+    np.testing.assert_array_equal(np.asarray(single.gates),
+                                  np.asarray(sharded.gates))

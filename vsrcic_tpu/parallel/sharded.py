@@ -29,14 +29,24 @@ def sharded_beam_search_v(captioner, mesh: Mesh, detections, det_groups,
     verb_list = jax.device_put(jnp.asarray(verb_list).astype(jnp.int32), data)
     params = jax.device_put(captioner.decode_params, rep)
 
-    def impl(params, detections, det_groups, verb_list):
+    tables = None
+    if captioner.use_vocab_topk:
+        # the candidate beam's out_fc tables ride replicated; NB the Pallas
+        # kernel doesn't partition under GSPMD — use use_vocab_topk='xla'
+        # (any-backend candidate beam) for sharded decode
+        tables = jax.device_put(captioner._vocab_tables(
+            captioner._vocab_topk_fn(detections.shape[0] * beam_size,
+                                     beam_size)), rep)
+
+    def impl(params, detections, det_groups, verb_list, vocab_tables):
         return captioner._beam_v_impl(params, detections, det_groups,
                                       verb_list, beam_size=beam_size,
-                                      eos_word=eos_word, gt=gt)
+                                      eos_word=eos_word, gt=gt,
+                                      vocab_tables=vocab_tables)
 
-    fn = jax.jit(impl, in_shardings=(rep, data, data, data),
+    fn = jax.jit(impl, in_shardings=(rep, data, data, data, rep),
                  out_shardings=data)
-    return fn(params, detections, det_groups, verb_list)
+    return fn(params, detections, det_groups, verb_list, tables)
 
 
 def sharded_greedy(captioner, mesh: Mesh, detections, det_groups):
