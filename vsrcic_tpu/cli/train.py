@@ -10,7 +10,7 @@ import time
 
 import numpy as np
 
-from vsrcic_tpu.cli.common import (base_parser, build_coco_world,
+from vsrcic_tpu.cli.common import (base_parser, build_world,
                                    force_platform, seed_all)
 
 
@@ -31,11 +31,10 @@ def main(argv=None):
     p.add_argument("--patience", default=5, type=int)
     p.add_argument("--log_dir", default=None, type=str)
     opt = p.parse_args(argv)
-    if opt.dataset != "coco":
-        # the reference ships no Flickr captioner-training script either
-        # (SURVEY.md S7) — its flickr captioner checkpoint is pretrained
-        p.error("captioner training supports --dataset coco (as upstream); "
-                "the flickr captioner checkpoint is imported, not trained")
+    # --dataset flickr is an EXTENSION: the reference ships no Flickr
+    # captioner-training script (SURVEY.md S7; its flickr checkpoint is
+    # pretrained) — here the same XE/SCST trainers run on Flickr entities
+    # via FlickrControlSequenceField (entity-IoU region groups)
     print(opt)
     force_platform(opt.platform)
     seed_all(opt.seed)
@@ -45,8 +44,9 @@ def main(argv=None):
     import jax
     from vsrcic_tpu.core.checkpoint import CheckpointManager
     from vsrcic_tpu.data import (COCOControlSequenceField, DataLoader,
-                                 ImageDetectionsField, PairedDataset,
-                                 RawField)
+                                 FlickrControlSequenceField,
+                                 FlickrDetectionField, ImageDetectionsField,
+                                 PairedDataset, RawField)
     from vsrcic_tpu.metrics import Cider
     from vsrcic_tpu.models.captioner import (CaptionerConfig,
                                              init_captioner_params)
@@ -56,17 +56,26 @@ def main(argv=None):
     from vsrcic_tpu.decode.loops import greedy_decode
     from vsrcic_tpu.models.captioner import precompute_statics
 
-    world = build_coco_world(opt)
+    world = build_world(opt)
     tf = world.text_field
     train_ex, val_ex, _ = world.splits
 
     img_max_det = 100
-    image_field = ImageDetectionsField(world.store,
-                                       max_detections=img_max_det)
-    det_field = COCOControlSequenceField(
-        world.store, classes_path=world.classes, padding_idx=-1,
-        all_boxes=False, fix_length=20, compact=True,
-        image_max_detections=img_max_det)
+    if opt.dataset == "flickr":
+        # diverse=True so the field returns (features, image_id) like the
+        # COCO ImageDetectionsField (the loop unpacks both)
+        image_field = FlickrDetectionField(world.store, diverse=True,
+                                           max_detections=img_max_det)
+        det_field = FlickrControlSequenceField(
+            world.store, padding_idx=-1, fix_length=20, compact=True,
+            image_max_detections=img_max_det)
+    else:
+        image_field = ImageDetectionsField(world.store,
+                                           max_detections=img_max_det)
+        det_field = COCOControlSequenceField(
+            world.store, classes_path=world.classes, padding_idx=-1,
+            all_boxes=False, fix_length=20, compact=True,
+            image_max_detections=img_max_det)
 
     train_ds = PairedDataset(train_ex, {"image": image_field,
                                         "detection": det_field,
@@ -88,12 +97,13 @@ def main(argv=None):
                           img_second_lstm=bool(opt.img_second_lstm))
     params = init_captioner_params(jax.random.PRNGKey(opt.seed), cfg)
 
-    ckpt = CheckpointManager(opt.checkpoint_path + "/coco_cap",
+    cap_dir = "/%s_cap" % opt.dataset   # matches ref ckpt layout (eval_*.py:39)
+    ckpt = CheckpointManager(opt.checkpoint_path + cap_dir,
                              opt.exp_name + ("_rl" if opt.sample_rl else ""))
     restored = None
     if opt.sample_rl:
         # RL warm-starts from the XE best checkpoint (ref train.py:85-90)
-        xe_ckpt = CheckpointManager(opt.checkpoint_path + "/coco_cap",
+        xe_ckpt = CheckpointManager(opt.checkpoint_path + cap_dir,
                                     opt.exp_name)
         restored = xe_ckpt.restore(best=True)
         if restored is not None:

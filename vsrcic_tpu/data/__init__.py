@@ -6,7 +6,7 @@ from vsrcic_tpu.data.fields import (  # noqa: F401
     COCODetSetField_Verb, SR_2_IDX)
 from vsrcic_tpu.data.fields_flickr import (  # noqa: F401
     FlickrDetectionField, FlickrControlSetField, FlickrControlSetField_Verb,
-    FlickrDetSetField, FlickrDetSetField_Verb)
+    FlickrDetSetField, FlickrDetSetField_Verb, FlickrControlSequenceField)
 from vsrcic_tpu.data.dataset import (  # noqa: F401
     Example, PairedDataset, DictionaryDataset, DataLoader, COCOEntities,
     FlickrEntities)

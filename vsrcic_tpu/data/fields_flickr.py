@@ -502,3 +502,123 @@ class FlickrDetSetField_Verb(RawField):
         return (word.astype(f32), vis.astype(f32), pos.astype(f32),
                 vis_all.astype(f32), seq_v.astype(f32), seq_sr.astype(f32),
                 control_verb.astype(f32), verb_list)
+
+
+# ---------------------------------------------------------------------------
+# FlickrControlSequenceField — EXTENSION (no upstream counterpart)
+# ---------------------------------------------------------------------------
+
+class FlickrControlSequenceField(RawField):
+    """Captioner-training control field for Flickr30k Entities (extension).
+
+    The reference ships its Flickr captioner checkpoint pretrained and has no
+    Flickr captioner-training script or field (SURVEY.md S7; reference
+    flickr_scripts/ contains only planner/eval scripts). This field fills the
+    gap by transplanting the COCO training-control semantics
+    (COCOControlSequenceField, reference data/field.py:15-110) onto Flickr's
+    entity annotations:
+
+      * the per-word control comes from the caption's entity ids
+        (FlickrEntities bracket parse), each entity's GT boxes matched to
+        detection rows by best IoU exactly as the in-repo Flickr fields do
+        (reference field.py:1171-1196) — unmatched boxes (IoU 0 everywhere)
+        are dropped rather than wrap-indexed (the _Verb field's np.take(-1)
+        quirk is not reproduced: there is no checkpoint pinning it here);
+      * words with no entity carry the next entity forward, with the
+        most-probable-detections fallback '_' (ref field.py:80-91 analog);
+      * the shift-gate GT is 1 where consecutive word entities differ
+        (ref field.py:93-97 analog);
+      * test-time groups deduplicate consecutive entities (ref :99-110).
+
+    `compact=True` emits (fix_length, max_detections) int32 detection-row
+    indices (-1 padded) for on-device group expansion, as the COCO field.
+    Returns (det_sequences, gate_gt, det_sequences_test, dedup_entity_str).
+    """
+
+    def __init__(self, store, padding_idx=0, fix_length=None, pad_eos=True,
+                 max_detections=20, compact=False, image_max_detections=100,
+                 postprocessing=None):
+        super().__init__(None, postprocessing)
+        self.store = store
+        self.max_detections = max_detections
+        self.padding_idx = padding_idx
+        self.fix_length = fix_length
+        self.compact = compact
+        self.image_max_detections = image_max_detections
+        self.eos_token = padding_idx if pad_eos else None
+
+    def _entity_rows(self, ent, bdnboxes, det_boxes, most_probable_idxs):
+        if ent == "_":
+            return np.asarray(most_probable_idxs[:self.max_detections],
+                              np.int64)
+        take = []
+        for bbox in bdnboxes[ent - 1]:
+            best, iou_max = -1, 0.0
+            for ii, det_bbox in enumerate(det_boxes):
+                iou = bb_iou(bbox, det_bbox)
+                if iou_max < iou:
+                    best, iou_max = ii, iou
+            if best >= 0:
+                take.append(best)
+        return np.unique(take)[:self.max_detections].astype(np.int64)
+
+    def preprocess(self, x):
+        from itertools import groupby
+
+        image = x[0][0]
+        bdnboxes = x[1]
+        det_ids = list(x[2])
+        max_len = self.fix_length + (self.eos_token, self.eos_token
+                                     ).count(None) - 2
+        det_cls_probs, det_features, det_boxes = self.store.get(
+            flickr_image_id(image))
+        most_probable_idxs = np.argsort(np.max(det_cls_probs, -1)
+                                        )[::-1][:self.max_detections]
+
+        ent_seq = []
+        for i, ent in enumerate(det_ids):
+            if ent != 0:
+                ent_seq.append(ent)
+            else:
+                ent_seq.append(next((d for d in det_ids[i + 1:] if d != 0),
+                                    "_"))
+
+        gate_gt = np.asarray([int(a != b) for a, b in
+                              zip(ent_seq[:-1], ent_seq[1:])] + [0])
+        gate_gt = gate_gt[:max_len]
+        gate_gt = np.concatenate([gate_gt, [self.eos_token, self.eos_token]])
+        gate_gt = np.concatenate(
+            [gate_gt,
+             [self.padding_idx] * max(0, self.fix_length - len(gate_gt))])
+        gate_gt = gate_gt.astype(np.float32)
+
+        ent_seq_test = [k for k, _ in groupby(det_ids) if k != 0]
+        n_dets = min(len(det_features), self.image_max_detections)
+
+        def fill_ids(seq):
+            ids = np.full((self.fix_length, self.max_detections), -1,
+                          np.int32)
+            for j, ent in enumerate(seq[:max_len]):
+                take = self._entity_rows(ent, bdnboxes, det_boxes,
+                                         most_probable_idxs)
+                take = take[take < n_dets]
+                ids[j, :len(take)] = take
+            last = len(seq[:max_len])
+            ids[last:] = ids[last - 1]
+            return ids
+
+        def fill(seq):
+            out = np.zeros((self.fix_length, self.max_detections,
+                            det_features.shape[-1]))
+            for j, ent in enumerate(seq[:max_len]):
+                take = self._entity_rows(ent, bdnboxes, det_boxes,
+                                         most_probable_idxs)
+                out[j, :len(take)] = np.take(det_features, take, axis=0)
+            last = len(seq[:max_len])
+            out[last:] = out[last - 1]
+            return out.astype(np.float32)
+
+        dedup = " ".join(str(e) for e in ent_seq_test)
+        if self.compact:
+            return (fill_ids(ent_seq), gate_gt, fill_ids(ent_seq_test), dedup)
+        return (fill(ent_seq), gate_gt, fill(ent_seq_test), dedup)
