@@ -63,6 +63,7 @@ def main():
     ap.add_argument("--fused", type=int, default=1)
     ap.add_argument("--bf16_tables", type=int, default=1)
     ap.add_argument("--vocab_topk", type=int, default=1)
+    ap.add_argument("--fast_ssp", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -98,7 +99,8 @@ def main():
     kcfg = SinkhornConfig(n=10, n_iters=20, tau=0.1)
     kparams = init_sinkhorn_params(jax.random.PRNGKey(2), kcfg)
     pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg,
-                        eos_word=3, beam_size=args.beam)
+                        eos_word=3, beam_size=args.beam,
+                        fast_ssp=bool(args.fast_ssp))
 
     jobs = make_jobs(n_jobs, D=2048)  # sinkhorn input dims are fixed (2352)
     if D != 2048:

@@ -140,33 +140,22 @@ def ssp_forward_loss(params, cfg: SSPConfig, verb, det_sr, gt_sr, rng=None):
     return loss
 
 
-def ssp_generate(params, cfg: SSPConfig, verb, det_sr, mode="normal"
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Autoregressive role-order generation (ref sort_model.py:105-183).
+def _generate_loop(cfg: SSPConfig, det_sr, mode, logp_step, extra0):
+    """Shared greedy selection loop for ssp_generate / ssp_generate_fast.
 
-    mode='normal': unconstrained greedy with the reference's finished logic.
-    Anything else (the eval scripts pass 'not-normal'): constrained — each
-    step's argmax is restricted to the multiset of input SRs not yet emitted.
-
-    Returns (pred (B, max_len) int32, logprobs (B, max_len) float32).
+    logp_step(extra, x_buf, t) -> (logp (B, 26), extra'): next-token
+    log-probs at buffer position t. `extra` threads implementation state
+    (e.g. K/V caches) through the scan.
     """
-    det_sr = jnp.asarray(det_sr).astype(jnp.int32)
     b, l = det_sr.shape
     t_max = cfg.max_len
-    prior = ssp_encode(params, cfg, verb, det_sr)
     constrained = mode != "normal"
-
-    def logprobs_at(x_buf, t):
-        states = ssp_decode(params, cfg, x_buf, prior)
-        logits = nn.linear(params["expander_nn"],
-                           jax.lax.dynamic_index_in_dim(states, t, 1, keepdims=False))
-        return jax.nn.log_softmax(logits, axis=-1)                   # (B, 26)
 
     if constrained:
         def body(carry, t):
-            x_buf, remain, pred, lps = carry
+            x_buf, remain, pred, lps, extra = carry
             active = jnp.sum(remain, 1) > 0                          # (B,)
-            logp = logprobs_at(x_buf, t)
+            logp, extra = logp_step(extra, x_buf, t)
             slot_scores = jnp.where(
                 remain > 0,
                 jnp.take_along_axis(logp, det_sr, axis=1), -jnp.inf)  # (B, L)
@@ -179,19 +168,20 @@ def ssp_generate(params, cfg: SSPConfig, verb, det_sr, mode="normal"
             clear = jax.nn.one_hot(j, l, dtype=remain.dtype) * active[:, None]
             remain = remain * (1 - clear)
             x_buf = x_buf.at[:, t + 1].set(it)
-            return (x_buf, remain, pred, lps), None
+            return (x_buf, remain, pred, lps, extra), None
 
         remain0 = (det_sr != 0).astype(jnp.int32)
         carry = (jnp.zeros((b, t_max + 1), jnp.int32), remain0,
-                 jnp.zeros((b, t_max), jnp.int32), jnp.zeros((b, t_max)))
-        (x_buf, remain, pred, lps), _ = jax.lax.scan(
+                 jnp.zeros((b, t_max), jnp.int32), jnp.zeros((b, t_max)),
+                 extra0)
+        (x_buf, remain, pred, lps, _), _ = jax.lax.scan(
             body, carry, jnp.arange(t_max))
         return pred, lps
 
     def body(carry, t):
-        x_buf, unfinished, alldone, pred, lps = carry
+        x_buf, unfinished, alldone, pred, lps, extra = carry
         execute = jnp.logical_not(alldone)
-        logp = logprobs_at(x_buf, t)
+        logp, extra = logp_step(extra, x_buf, t)
         score = jnp.max(logp, axis=-1)
         it = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         unf_new = jnp.where(t == 0, it > 0, unfinished & (it > 0))
@@ -200,13 +190,142 @@ def ssp_generate(params, cfg: SSPConfig, verb, det_sr, mode="normal"
         lps = lps.at[:, t].set(jnp.where(execute, score, lps[:, t]))
         x_buf = x_buf.at[:, t + 1].set(jnp.where(execute, it_w, 0))
         alldone = alldone | jnp.logical_not(jnp.any(unf_new))
-        return (x_buf, unf_new, alldone, pred, lps), None
+        return (x_buf, unf_new, alldone, pred, lps, extra), None
 
     carry = (jnp.zeros((b, t_max + 1), jnp.int32),
              jnp.ones((b,), bool), jnp.asarray(False),
-             jnp.zeros((b, t_max), jnp.int32), jnp.zeros((b, t_max)))
-    (x_buf, _, _, pred, lps), _ = jax.lax.scan(body, carry, jnp.arange(t_max))
+             jnp.zeros((b, t_max), jnp.int32), jnp.zeros((b, t_max)),
+             extra0)
+    (x_buf, _, _, pred, lps, _), _ = jax.lax.scan(
+        body, carry, jnp.arange(t_max))
     return pred, lps
+
+
+def ssp_generate(params, cfg: SSPConfig, verb, det_sr, mode="normal"
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Autoregressive role-order generation (ref sort_model.py:105-183).
+
+    mode='normal': unconstrained greedy with the reference's finished logic.
+    Anything else (the eval scripts pass 'not-normal'): constrained — each
+    step's argmax is restricted to the multiset of input SRs not yet emitted.
+
+    Returns (pred (B, max_len) int32, logprobs (B, max_len) float32).
+    """
+    det_sr = jnp.asarray(det_sr).astype(jnp.int32)
+    prior = ssp_encode(params, cfg, verb, det_sr)
+
+    def logp_step(extra, x_buf, t):
+        states = ssp_decode(params, cfg, x_buf, prior)
+        logits = nn.linear(params["expander_nn"],
+                           jax.lax.dynamic_index_in_dim(states, t, 1, keepdims=False))
+        return jax.nn.log_softmax(logits, axis=-1), extra            # (B, 26)
+
+    return _generate_loop(cfg, det_sr, mode, logp_step, None)
+
+
+def ssp_generate_fast(params, cfg: SSPConfig, verb, det_sr, mode="normal"
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Incremental (KV-cached) ssp_generate — same outputs, ~T× less decoder
+    compute per step.
+
+    The reference decoder recomputes the full fixed-size token buffer every
+    step (ref sort_model.py:129-147, ported by ssp_generate). Caching is
+    exact here because of three verified properties of the reference masking
+    (token==0 keys masked with -1e3, which underflows to weight 0 in fp32
+    next to any live key):
+
+      1. a position's states are final once its token is written — later
+         steps never change them (tokens are append-only and zero-terminal);
+      2. token-0 positions (<bos>, pad, finished tails) are masked as KEYS
+         everywhere, so their step-varying states never propagate;
+      3. the only *read* of a degenerate all-keys-masked query is position t
+         of a row whose buffer is entirely zeros (incl. every row at t=0),
+         and with no positional encoding in the decoder embedding those
+         outputs equal the corresponding position of one all-zeros-buffer
+         pass, computed here once up front.
+
+    Per step this computes only position t through the layers (Q/K/V on one
+    position, attention over the 11-slot cache, cross-attention over per-
+    layer precomputed K/V of the encoder states), instead of an 11-position
+    full decoder pass. Exactness is pinned by tests/test_ssp_fast.py
+    (array-equal vs ssp_generate, both modes).
+    """
+    import math as _math
+
+    from vsrcic_tpu.models import transformer as tfm
+
+    det_sr = jnp.asarray(det_sr).astype(jnp.int32)
+    b, l = det_sr.shape
+    s = cfg.max_len + 1
+    n_heads = cfg.n_heads
+    hd = cfg.hidden_size // n_heads
+    prior = ssp_encode(params, cfg, verb, det_sr)
+    layers = [params["decoder"]["encoder_layers"][str(i)]
+              for i in range(cfg.decoder_layers)]
+
+    # one full pass over the all-zeros buffer: degenerate-query outputs
+    zero_states = ssp_decode(params, cfg, jnp.zeros((b, s), jnp.int32), prior)
+    zero_logp = jax.nn.log_softmax(
+        nn.linear(params["expander_nn"], zero_states), axis=-1)   # (B, S, 26)
+
+    # cross-attention K/V once per layer (the reference layer runs cross
+    # attention with the SELF-attention projections, sort_modules.py:87)
+    cross_kv = tuple((nn.linear(lp["attention"]["linear_K"], prior),
+                      nn.linear(lp["attention"]["linear_V"], prior))
+                     for lp in layers)
+
+    def heads(x):
+        return x.reshape(b, -1, n_heads, hd).transpose(0, 2, 1, 3)
+
+    def unheads(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, -1, cfg.hidden_size)
+
+    def attend(q, k, v, key_mask=None):
+        # mirrors tfm.mha_apply: einsum -> /sqrt(hd) -> -1e3 fill -> softmax
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / _math.sqrt(hd)
+        if key_mask is not None:
+            logits = jnp.where(key_mask, logits, tfm.MASK_FILL)
+        return unheads(jnp.einsum("bhqk,bhkd->bhqd",
+                                  jax.nn.softmax(logits, -1), v))
+
+    def logp_step(caches, x_buf, t):
+        tok = jax.lax.dynamic_index_in_dim(x_buf, t, 1, keepdims=True)
+        x = tfm.transformer_embed(params["sr_embed_layer"], tok,
+                                  cfg.embed_size)                  # (B, 1, H)
+        # positions > t still hold token 0 in x_buf, so this single mask is
+        # exactly the reference's causal+pad key mask for query position t
+        key_mask = (x_buf != 0)[:, None, None, :]                  # (B,1,1,S)
+        new_caches = []
+        for lp, (ck, cv), (k_cache, v_cache) in zip(layers, cross_kv, caches):
+            y1 = nn.layer_norm(lp["layer_norm1"], x)
+            q = heads(nn.linear(lp["attention"]["linear_Q"], y1))
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, nn.linear(lp["attention"]["linear_K"], y1), (0, t, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, nn.linear(lp["attention"]["linear_V"], y1), (0, t, 0))
+            new_caches.append((k_cache, v_cache))
+            h1 = nn.linear(lp["attention"]["linear_O"],
+                           attend(q, heads(k_cache), heads(v_cache),
+                                  key_mask)) + x
+            y2 = nn.layer_norm(lp["layer_norm2"], h1)
+            q2 = heads(nn.linear(lp["attention"]["linear_Q"], y2))
+            h2 = nn.linear(lp["attention"]["linear_O"],
+                           attend(q2, heads(ck), heads(cv))) + h1
+            y3 = nn.layer_norm(lp["layer_norm3"], h2)
+            x = tfm.ff_apply(lp["ff_layer"], y3) + h2
+        states_t = nn.layer_norm(params["decoder"]["layer_norm"], x)[:, 0]
+        logp = jax.nn.log_softmax(
+            nn.linear(params["expander_nn"], states_t), axis=-1)   # (B, 26)
+        # degenerate rows (no live keys: nothing emitted yet, which includes
+        # every row at t=0) read the all-zeros-buffer pass instead
+        deg = jax.lax.dynamic_index_in_dim(x_buf, 1, 1, keepdims=False) == 0
+        zl = jax.lax.dynamic_index_in_dim(zero_logp, t, 1, keepdims=False)
+        return jnp.where(deg[:, None], zl, logp), tuple(new_caches)
+
+    caches0 = tuple(
+        (jnp.zeros((b, s, cfg.hidden_size)), jnp.zeros((b, s, cfg.hidden_size)))
+        for _ in layers)
+    return _generate_loop(cfg, det_sr, mode, logp_step, caches0)
 
 
 def ssp_beam_search(params, cfg: SSPConfig, verb, det_sr, beam_size: int = 3

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vsrcic_tpu.models.api import ControllableCaptioner
-from vsrcic_tpu.models.s_ssp import SSPConfig, ssp_generate
+from vsrcic_tpu.models.s_ssp import (SSPConfig, ssp_generate,
+                                     ssp_generate_fast)
 from vsrcic_tpu.models.sinkhorn import SinkhornConfig, sinkhorn_net_apply
 from vsrcic_tpu.ops.assignment import hungarian_assign
 from vsrcic_tpu.pipelines.sr_groups import VerbGroup, extract_verb_groups
@@ -50,7 +51,8 @@ class EvalPipeline:
                  ssp_cfg: SSPConfig, sinkhorn_params,
                  sinkhorn_cfg: SinkhornConfig, eos_word: int,
                  fixed_len: int = 10, sinkhorn_len: int = 10,
-                 beam_size: int = 5, gt: bool = False):
+                 beam_size: int = 5, gt: bool = False,
+                 fast_ssp: bool = True):
         self.captioner = captioner
         self.ssp_params = ssp_params
         self.ssp_cfg = ssp_cfg
@@ -62,9 +64,12 @@ class EvalPipeline:
         self.beam_size = beam_size
         self.gt = gt
 
+        # fast_ssp: KV-cached incremental planner decode — token-exact vs
+        # the full-buffer path (tests/test_ssp_fast.py; only tokens are
+        # consumed here), ~max_len× less decoder compute per step
+        gen = ssp_generate_fast if fast_ssp else ssp_generate
         self._ssp_gen = jax.jit(
-            lambda v, d: ssp_generate(ssp_params, ssp_cfg, v, d,
-                                      mode="not-normal"))
+            lambda v, d: gen(ssp_params, ssp_cfg, v, d, mode="not-normal"))
         self._build_recons = jax.jit(self._build_recons_impl)
 
         def sinkhorn_gather(vis, txt, pos, owner, locs, valid):
