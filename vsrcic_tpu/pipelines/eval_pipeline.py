@@ -225,20 +225,28 @@ class EvalPipeline:
     def _build_recons_impl(seqs_all, rank_idx, rank_valid):
         """Device recons: gather rows by rank, drop all-zero rows compacting
         to the front (stable), fill the tail with the last non-zero row —
-        semantics of ref eval_coco.py:229-237."""
+        semantics of ref eval_coco.py:229-237.
+
+        All index bookkeeping happens on the tiny (P, L) plane (row liveness
+        from per-row feature sums, stable compaction, tail fill, then a
+        single composed index), so the big (P, L, M, D) tensor is touched by
+        exactly ONE gather — the naive form (gather, zero, re-gather twice)
+        moves it through HBM three times."""
         P, L = rank_idx.shape
-        gathered = jnp.take_along_axis(
-            seqs_all, rank_idx[:, :, None, None], axis=1)
-        gathered = jnp.where(rank_valid[:, :, None, None], gathered, 0.0)
-        nz = jnp.sum(gathered, (2, 3)) != 0                       # (P, L)
+        row_sums = jnp.sum(seqs_all, (2, 3))                      # (P, L)
+        g_sums = jnp.take_along_axis(row_sums, rank_idx, 1)
+        nz = jnp.where(rank_valid, g_sums != 0, False)            # live rows
         order = jnp.argsort(jnp.logical_not(nz), axis=1,
                             stable=True)                          # nz first
-        compact = jnp.take_along_axis(gathered, order[:, :, None, None], 1)
         n = jnp.sum(nz, axis=1)                                   # (P,)
         last = jnp.clip(n - 1, 0, L - 1)
         rows = jnp.arange(L)[None, :]
-        src = jnp.where(rows < n[:, None], rows, last[:, None])
-        return jnp.take_along_axis(compact, src[:, :, None, None], 1)
+        src = jnp.where(rows < n[:, None], rows, last[:, None])   # tail fill
+        comp = jnp.take_along_axis(order, src, 1)
+        idx = jnp.take_along_axis(rank_idx, comp, 1)
+        valid_c = jnp.take_along_axis(nz, comp, 1)
+        out = jnp.take_along_axis(seqs_all, idx[:, :, None, None], 1)
+        return jnp.where(valid_c[:, :, None, None], out, 0.0)
 
     # ------------------------------------------------------------------
     def submit_batch(self, detections_per_job: np.ndarray,
