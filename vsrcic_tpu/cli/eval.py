@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--vocab_topk", action="store_true",
                    help="use the streaming vocab top-k Pallas kernel + "
                    "candidate beam (TPU fast path)")
+    p.add_argument("--fast_ssp", default=1, type=int,
+                   help="KV-cached incremental planner decode (token-exact "
+                   "vs the full-buffer path; 0 = strict full-buffer)")
     opt = p.parse_args(argv)
     print(opt)
     force_platform(opt.platform)
@@ -125,7 +128,8 @@ def main(argv=None):
     pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg,
                         eos_word=tf.eos_idx, fixed_len=opt.fixed_len,
                         sinkhorn_len=opt.sinkhorn_len,
-                        beam_size=opt.beam_size, gt=opt.gt)
+                        beam_size=opt.beam_size, gt=opt.gt,
+                        fast_ssp=bool(opt.fast_ssp))
 
     predictions, gt_captions = [], []
     pending = None  # beam(k) computes while plan(k+1) runs on host
