@@ -96,3 +96,30 @@ def test_sharded_candidate_beam_matches_single():
                                   np.asarray(sharded.words))
     np.testing.assert_array_equal(np.asarray(single.gates),
                                   np.asarray(sharded.gates))
+
+
+def test_sharded_pallas_kernels_under_shard_map():
+    """The Pallas fast path (fused group attention + streaming vocab top-k,
+    interpret mode on CPU) runs inside shard_map: each shard executes the
+    same single-chip kernel program on its local block — token-exact vs the
+    single-device call with the identical kernels."""
+    cfg = CaptionerConfig(seq_len=6, vocab_size=40, bos_idx=2,
+                          det_feat_size=D, input_encoding_size=12,
+                          rnn_size=10, att_size=8)
+    fast = ControllableCaptioner(cfg, key=jax.random.PRNGKey(5),
+                                 verb_2_vob_all={"1": [5, 6]},
+                                 use_fused_attention=True,
+                                 use_vocab_topk=True, pallas_interpret=True)
+    rng = np.random.RandomState(5)
+    dets = rng.rand(B, 6, D).astype(np.float32)
+    groups = rng.rand(B, L, M, D).astype(np.float32)
+    vl = np.where(rng.rand(B, L) < 0.3, 1, -1).astype(np.int32)
+
+    single = fast.beam_search_v(dets, groups, vl, eos_word=3, beam_size=3)
+    mesh = make_mesh(n_data=8)
+    sharded = sharded_beam_search_v(fast, mesh, dets, groups, vl,
+                                    eos_word=3, beam_size=3)
+    np.testing.assert_array_equal(np.asarray(single.words),
+                                  np.asarray(sharded.words))
+    np.testing.assert_array_equal(np.asarray(single.gates),
+                                  np.asarray(sharded.gates))

@@ -39,7 +39,8 @@ class ControllableCaptioner:
     def __init__(self, cfg: CaptionerConfig, params=None, key=None,
                  verb_2_vob_all: Optional[Dict] = None,
                  decode_dtype=None, use_fused_attention: bool = False,
-                 table_dtype=None, use_vocab_topk=False, step_dtype=None):
+                 table_dtype=None, use_vocab_topk=False, step_dtype=None,
+                 pallas_interpret: bool = False):
         """decode_dtype: cast params for decode (measured SLOWER on TPU than
         default-precision fp32 — see docs/ENGINEERING_NOTES.md; kept as an
         option). table_dtype: storage dtype for the beam statics tables
@@ -57,6 +58,8 @@ class ControllableCaptioner:
         # "xla" (reference impl, any backend) — candidate-based beam that
         # never materializes (rows, V) word logprobs
         self.use_vocab_topk = use_vocab_topk
+        # run the Pallas kernels in interpreter mode (any backend; tests)
+        self.pallas_interpret = pallas_interpret
         # step_dtype (e.g. bf16): surgical weight-storage cast for the big
         # decode-step matmuls (see derive_fused_step_weights); fast path
         self.step_dtype = step_dtype
@@ -107,7 +110,7 @@ class ControllableCaptioner:
             rpb = next(r for r in (8, 4, 2, 1) if rows % r == 0)
             self._fused_cache[key] = make_fused_group_attention(
                 b, l, m, d, self.cfg.att_size, rows=rows,
-                rows_per_block=rpb,
+                rows_per_block=rpb, interpret=self.pallas_interpret,
                 table_dtype=self.table_dtype or self.decode_dtype
                 or jnp.float32)
         return self._fused_cache[key]
@@ -149,6 +152,7 @@ class ControllableCaptioner:
             return lambda h2, w_t, b: vocab_topk_lse_xla(h2, w_t, b, k)
         return get_vocab_topk(
             rows, self.cfg.rnn_size, self.cfg.vocab_size, k,
+            interpret=self.pallas_interpret,
             table_dtype=self.table_dtype or jnp.float32)
 
     def _vocab_tables(self, vocab_fn):
