@@ -162,3 +162,50 @@ def test_eval_pipeline_gt_verb_mode(world):
     # the forced verb id must appear in the decoded sequence (substitution
     # makes it the only choice at its slot with the gate forced to shift)
     assert vocab_verb_id in list(words[0])
+
+
+def test_pipeline_recons_layout_emission(world):
+    """With the fast-path captioner (fused attention + bf16 tables, interpret
+    Pallas on CPU) the pipeline emits recons pre-cast/pre-padded into the
+    beam's statics-table layout; tokens must equal a pipeline whose layout
+    emission is disabled (beam does the cast+pad itself)."""
+    syn, tf, _, ssp_cfg, ssp_params, kcfg, kparams = world
+    import jax.numpy as jnp
+    cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),
+                          bos_idx=tf.bos_idx, det_feat_size=FEAT,
+                          input_encoding_size=24, rnn_size=16, att_size=8)
+    fast = ControllableCaptioner(
+        cfg, key=jax.random.PRNGKey(0),
+        verb_2_vob_all=syn.verb_2_vob_all(tf),
+        use_fused_attention=True, table_dtype=jnp.bfloat16,
+        pallas_interpret=True)
+
+    rng = np.random.RandomState(2)
+    L, M = 10, 5
+    jobs = []
+    for p in range(3):
+        job = CaptionJob(
+            seqs_vis=rng.rand(L, 2048).astype(np.float32),
+            seqs_txt=rng.rand(L, 300).astype(np.float32),
+            seqs_pos=rng.rand(L, 4).astype(np.float32),
+            seqs_all=rng.rand(L, M, FEAT).astype(np.float32),
+            control_verb=np.array([3.0, 0, 0, 0, 0, 0, 0, 0]),
+            det_seqs_v=np.zeros((L, 8)), det_seqs_sr=np.zeros((L, 8)),
+            verb_list=np.full((L, 1), -1.0))
+        job.det_seqs_v[0, 0] = job.det_seqs_v[1, 0] = 3.0
+        job.det_seqs_sr[0, 0] = 2.0
+        job.det_seqs_sr[1, 0] = 7.0
+        jobs.append(job)
+    dets = rng.rand(len(jobs), 6, FEAT).astype(np.float32)
+
+    pipe_a = EvalPipeline(fast, ssp_params, ssp_cfg, kparams, kcfg,
+                          eos_word=tf.eos_idx, beam_size=2)
+    assert pipe_a._recons_dtype is not None and pipe_a._recons_m_pad
+    words_a = pipe_a.run_batch(dets, jobs)
+
+    pipe_b = EvalPipeline(fast, ssp_params, ssp_cfg, kparams, kcfg,
+                          eos_word=tf.eos_idx, beam_size=2)
+    pipe_b._recons_dtype = None
+    pipe_b._recons_m_pad = None
+    words_b = pipe_b.run_batch(dets, jobs)
+    np.testing.assert_array_equal(words_a, words_b)

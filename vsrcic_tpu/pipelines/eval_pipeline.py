@@ -70,7 +70,29 @@ class EvalPipeline:
         gen = ssp_generate_fast if fast_ssp else ssp_generate
         self._ssp_gen = jax.jit(
             lambda v, d: gen(ssp_params, ssp_cfg, v, d, mode="not-normal"))
-        self._build_recons = jax.jit(self._build_recons_impl)
+
+        # emit recons directly in the beam's statics-table layout (bf16
+        # cast + M padded to the fused kernel's 8-row tiling) so the beam
+        # program skips its in-trace pad+convert+copy over the full
+        # (P, L, M, D) tensor — identical values (the beam would apply the
+        # same cast/pad; padded rows are zero => masked)
+        self._recons_dtype = getattr(captioner, "table_dtype", None)
+        self._recons_m_pad = None
+        if getattr(captioner, "use_fused_attention", False):
+            self._recons_m_pad = lambda m: ((m + 7) // 8) * 8
+        def build_recons(seqs_all, rank_idx, rank_valid):
+            out = self._build_recons_impl(seqs_all, rank_idx, rank_valid)
+            if self._recons_dtype is not None:
+                out = out.astype(self._recons_dtype)
+            if self._recons_m_pad is not None:
+                m = out.shape[2]
+                m_pad = self._recons_m_pad(m)
+                if m_pad != m:
+                    out = jnp.pad(out, [(0, 0), (0, 0), (0, m_pad - m),
+                                        (0, 0)])
+            return out
+
+        self._build_recons = jax.jit(build_recons)
 
         def sinkhorn_gather(vis, txt, pos, owner, locs, valid):
             """Assemble sinkhorn inputs ON DEVICE: row j of sink input s is
