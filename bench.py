@@ -60,6 +60,13 @@ def main():
                                    jnp.float32)
     det_groups = jax.random.normal(kg, (batch, L, M, cfg.det_feat_size),
                                    jnp.float32)
+    if on_tpu:
+        # production layout: the eval pipeline hands the beam det_groups
+        # already bf16-cast and M-padded to the fused kernel's 8-row tiling
+        # (EvalPipeline emits recons that way); bench inputs match so the
+        # measured program is the production one
+        det_groups = jnp.pad(det_groups.astype(jnp.bfloat16),
+                             [(0, 0), (0, 0), (0, (-M) % 8), (0, 0)])
     verb_list = jnp.where(
         jax.random.uniform(kv, (batch, L)) < 0.15,
         jax.random.randint(kv, (batch, L), 1, 150), -1).astype(jnp.int32)

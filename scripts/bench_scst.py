@@ -4,7 +4,7 @@ Measures trainer.step (fused sample+greedy decode -> host PTB+CIDEr reward
 -> in-graph logprob recompute + grad step) with device-resident inputs, both
 baseline modes, batch >= 64.
 """
-import sys, time
+import os, sys, time
 sys.path.insert(0, ".")
 import numpy as np
 import jax
@@ -17,7 +17,7 @@ from vsrcic_tpu.train.captioner import CaptionerSCSTTrainer
 
 def main():
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    B = 64 if on_tpu else 4
+    B = int(os.environ.get("VSRCIC_SCST_BATCH", 64 if on_tpu else 4))
     D = 2048 if on_tpu else 32
     words = ["w%d" % i for i in range(200)]
     rng = np.random.RandomState(0)
