@@ -138,11 +138,19 @@ class ControllableCaptioner:
                    (0, 0)]
             groups = jnp.pad(groups, pad)
             proj = jnp.pad(proj, pad)
+        from vsrcic_tpu.models.captioner import (_mm,
+                                                 derive_fused_step_weights)
+        fw = derive_fused_step_weights(params, dtype=self.step_dtype,
+                                       cfg=self.cfg)
+        # hoist the image-descriptor slice of the input_1 projection out of
+        # the decode scan (step-invariant; ~half of the per-step y_x FLOPs)
+        img_y = (_mm(statics.image_descriptor.astype(jnp.float32),
+                     fw["wx_img"]) + fw["bx"]
+                 if "wx_img" in fw else None)
         statics = Statics(statics.image_descriptor, groups, proj,
-                          statics.det_groups_mask, statics.verb_list)
-        from vsrcic_tpu.models.captioner import derive_fused_step_weights
-        return statics, fused, derive_fused_step_weights(
-            params, dtype=self.step_dtype)
+                          statics.det_groups_mask, statics.verb_list,
+                          img_y=img_y)
+        return statics, fused, fw
 
     def _vocab_topk_fn(self, rows, k):
         """Streaming Pallas top-k+lse kernel (TPU) or the XLA reference."""

@@ -97,7 +97,7 @@ def init_captioner_params(key, cfg: CaptionerConfig, dtype=jnp.float32) -> Dict[
     }
 
 
-def derive_fused_step_weights(params, dtype=None):
+def derive_fused_step_weights(params, dtype=None, cfg=None):
     """Concatenate the input_1-consuming projections (W1_is, W1_ig,
     lstm_cell_1 w_ih) into one matmul and the h1_prev-consuming ones
     (W1_hs, lstm w_hh) into another — identical dot products, 5 of the
@@ -124,9 +124,22 @@ def derive_fused_step_weights(params, dtype=None):
     bh = jnp.concatenate([params["W1_hs"]["bias"],
                           params["lstm_cell_1"]["bias_hh"]], 0)
     out = {"wx": wx, "bx": bx, "wh": wh, "bh": bh}
+    if cfg is not None:
+        # split out the image-descriptor columns: that input slice is
+        # CONSTANT across decode steps, so its projection is hoisted to a
+        # once-per-decode (items, 6R) matmul (Statics.img_y) — the img slice
+        # is ~half of input_1's 4048 dims, i.e. ~half the per-step y_x FLOPs.
+        # Identical dot products; the adds reassociate (fast path only).
+        r, d = cfg.rnn_size, cfg.det_feat_size
+        lo = r if cfg.h2_first_lstm else 0
+        out["wx_img"] = wx[:, lo:lo + d]
+        out["wx_nimg"] = jnp.concatenate([wx[:, :lo], wx[:, lo + d:]], 1)
     if dtype is not None:
         out["wx"] = wx.astype(dtype)
         out["wh"] = wh.astype(dtype)
+        if "wx_nimg" in out:
+            out["wx_nimg"] = out["wx_nimg"].astype(dtype)
+            # wx_img stays f32: img_y is computed once per decode
         out["w2_ih"] = params["lstm_cell_2"]["weight_ih"].astype(dtype)
         out["w2_hh"] = params["lstm_cell_2"]["weight_hh"].astype(dtype)
         out["b2"] = (params["lstm_cell_2"]["bias_ih"]
@@ -142,16 +155,22 @@ def _mm(x, w):
         preferred_element_type=jnp.float32)
 
 
-def _fused_input1_block(fused_w, input_1, h1_prev, c1_prev, rnn_size):
+def _fused_input1_block(fused_w, input_1, h1_prev, c1_prev, rnn_size,
+                        img_y=None):
     """Two fused passes: returns (s_gate, g_pre_x, h1, c1); the caller
-    finishes g_gate = sigmoid(g_pre_x + W1_hg(h1))."""
+    finishes g_gate = sigmoid(g_pre_x + W1_hg(h1)).
+
+    img_y (rows, 6R): hoisted image-descriptor contribution (incl. bx) —
+    input_1 must then EXCLUDE the image slice (wx_nimg weights)."""
     r = rnn_size
-    if fused_w["wx"].dtype != input_1.dtype:  # bf16-weight fast path
-        y_x = _mm(input_1, fused_w["wx"]) + fused_w["bx"]
+    wx = fused_w["wx_nimg"] if img_y is not None else fused_w["wx"]
+    if wx.dtype != input_1.dtype:  # bf16-weight fast path
+        y_x = _mm(input_1, wx)
         y_h = _mm(h1_prev, fused_w["wh"]) + fused_w["bh"]
     else:
-        y_x = input_1 @ fused_w["wx"].T + fused_w["bx"]   # (B, 6R)
+        y_x = input_1 @ wx.T                              # (B, 6R)
         y_h = h1_prev @ fused_w["wh"].T + fused_w["bh"]   # (B, 5R)
+    y_x = y_x + (img_y if img_y is not None else fused_w["bx"])
     s_gate = jax.nn.sigmoid(y_x[:, :r] + y_h[:, :r])
     g_pre_x = y_x[:, r:2 * r]
     gates = y_x[:, 2 * r:] + y_h[:, r:]
@@ -187,6 +206,9 @@ class Statics(NamedTuple):
     det_groups_proj: jnp.ndarray       # (B, L, M, A) att_va(det_groups)
     det_groups_mask: jnp.ndarray       # (B, L, M) 1.0 where region non-zero
     verb_list: Optional[jnp.ndarray]   # (B, L) int32 verb ids or -1 (step_v only)
+    # fast path: image_descriptor's input_1 projection + bias, hoisted out of
+    # the decode scan (step-invariant; see derive_fused_step_weights)
+    img_y: Optional[jnp.ndarray] = None   # (B, 6R)
 
 
 def precompute_statics(params, cfg: CaptionerConfig, detections, det_groups,
@@ -277,20 +299,35 @@ def _step_core_fused(params, cfg: CaptionerConfig, state: CaptionerState,
     the XLA path (kernel verified on TPU). `fused_w` (optional,
     derive_fused_step_weights) collapses the input_1/h1 projections."""
     xt = nn.embedding(params["embed"], it)
-    if cfg.h2_first_lstm:
+    img_y_row = getattr(statics, "img_y", None)
+    if img_y_row is not None and fused_w is not None and "wx_nimg" in fused_w:
+        # hoisted-img path: img projection precomputed per item (statics);
+        # rows gather their item's (6R,) contribution instead of re-running
+        # the (rows, D) @ (D, 6R) half of the input matmul every step
+        if img_y_row.shape[0] != state.h1.shape[0]:
+            item = jnp.arange(state.h1.shape[0], dtype=jnp.int32) // beam
+            img_y_row = img_y_row[item]
+        input_1p = (jnp.concatenate([state.h2, xt], 1) if cfg.h2_first_lstm
+                    else xt)
+        s_gate, g_pre_x, h1, c1 = _fused_input1_block(
+            fused_w, input_1p, state.h1, state.c1, cfg.rnn_size,
+            img_y=img_y_row)
+        input_1 = None
+    elif cfg.h2_first_lstm:
         input_1 = jnp.concatenate([state.h2, image_descriptor, xt], 1)
     else:
         input_1 = jnp.concatenate([image_descriptor, xt], 1)
 
-    g_pre_x = None
-    if fused_w is not None:
-        s_gate, g_pre_x, h1, c1 = _fused_input1_block(
-            fused_w, input_1, state.h1, state.c1, cfg.rnn_size)
-    else:
-        s_gate = jax.nn.sigmoid(nn.linear(params["W1_is"], input_1)
-                                + nn.linear(params["W1_hs"], state.h1))
-        h1, c1 = nn.lstm_cell(params["lstm_cell_1"], input_1,
-                              (state.h1, state.c1))
+    if input_1 is not None:
+        g_pre_x = None
+        if fused_w is not None:
+            s_gate, g_pre_x, h1, c1 = _fused_input1_block(
+                fused_w, input_1, state.h1, state.c1, cfg.rnn_size)
+        else:
+            s_gate = jax.nn.sigmoid(nn.linear(params["W1_is"], input_1)
+                                    + nn.linear(params["W1_hs"], state.h1))
+            h1, c1 = nn.lstm_cell(params["lstm_cell_1"], input_1,
+                                  (state.h1, state.c1))
     s_t = s_gate * jnp.tanh(c1)
     if fused_w is not None and "sfc_w" in fused_w:
         fc_sentinel = _mm(s_t, fused_w["sfc_w"]) + params["s_fc"]["bias"]
