@@ -120,3 +120,40 @@ def test_fused_step_weights_equivalence():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(want_c1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_greedy_sample_fast_path_matches_plain():
+    """The greedy/sample feedback decodes through the fast path (fused
+    attention interpret + fused step weights + hoisted img projection) match
+    the plain XLA path's tokens; logits math is identical up to matmul
+    reassociation."""
+    from vsrcic_tpu.models.api import ControllableCaptioner
+    from vsrcic_tpu.models.captioner import CaptionerConfig
+
+    cfg = CaptionerConfig(seq_len=6, vocab_size=40, bos_idx=2,
+                          det_feat_size=32, input_encoding_size=12,
+                          rnn_size=10, att_size=8)
+    plain = ControllableCaptioner(cfg, key=jax.random.PRNGKey(7),
+                                  verb_2_vob_all={"1": [5, 6]})
+    fast = ControllableCaptioner(cfg, params=plain.params,
+                                 verb_2_vob_all={"1": [5, 6]},
+                                 use_fused_attention=True,
+                                 pallas_interpret=True)
+    rng = np.random.RandomState(7)
+    b = 4
+    dets = rng.rand(b, 6, 32).astype(np.float32)
+    groups = rng.rand(b, 4, 8, 32).astype(np.float32)
+    groups[:, :, 5:] = 0.0
+
+    w_p, g_p = plain.test(dets, groups)
+    w_f, g_f = fast.test(dets, groups)
+    np.testing.assert_array_equal(np.asarray(w_p), np.asarray(w_f))
+    np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_f))
+
+    (sw_p, sg_p), (wl_p, gl_p) = plain.sample_rl(dets, groups,
+                                                 jax.random.PRNGKey(1))
+    (sw_f, sg_f), (wl_f, gl_f) = fast.sample_rl(dets, groups,
+                                                jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(sw_p), np.asarray(sw_f))
+    np.testing.assert_array_equal(np.asarray(sg_p), np.asarray(sg_f))
+    np.testing.assert_allclose(np.asarray(wl_p), np.asarray(wl_f), atol=1e-4)

@@ -158,8 +158,12 @@ class ControllableCaptioner:
                                                vocab_topk_lse_xla)
         if self.use_vocab_topk == "xla":
             return lambda h2, w_t, b: vocab_topk_lse_xla(h2, w_t, b, k)
+        import os
+        tile_v = int(os.environ.get("VSRCIC_VOCAB_TILE", "1024"))
+        tile_rows = int(os.environ.get("VSRCIC_VOCAB_TILE_ROWS", "1280"))
         return get_vocab_topk(
             rows, self.cfg.rnn_size, self.cfg.vocab_size, k,
+            tile_v=tile_v, tile_rows=tile_rows,
             interpret=self.pallas_interpret,
             table_dtype=self.table_dtype or jnp.float32)
 
