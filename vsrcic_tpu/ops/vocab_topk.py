@@ -186,13 +186,14 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_kernel(rows, r, v, k, tile_v, interpret, table_dtype_name):
+def _cached_kernel(rows, r, v, k, tile_v, tile_rows, interpret,
+                   table_dtype_name):
     return make_vocab_topk_lse(rows, r, v, k, tile_v=tile_v,
-                               interpret=interpret,
+                               tile_rows=tile_rows, interpret=interpret,
                                table_dtype=jnp.dtype(table_dtype_name))
 
 
-def get_vocab_topk(rows, r, v, k, tile_v=1024, interpret=False,
-                   table_dtype=jnp.float32):
-    return _cached_kernel(rows, r, v, k, tile_v, interpret,
+def get_vocab_topk(rows, r, v, k, tile_v=1024, tile_rows=1280,
+                   interpret=False, table_dtype=jnp.float32):
+    return _cached_kernel(rows, r, v, k, tile_v, tile_rows, interpret,
                           np.dtype(table_dtype).name)
