@@ -34,9 +34,11 @@ def main():
     dets = jnp.asarray(rng.rand(B, 50, D).astype(np.float32))
     groups = jnp.asarray(rng.rand(B, 10, 20, D).astype(np.float32))
 
+    fast = bool(int(os.environ.get("VSRCIC_SCST_FAST", "0")))
     for mode in ("step", "epoch"):
         tr = CaptionerSCSTTrainer(cfg, params, tf, cider, lr=5e-4,
-                                  baseline=mode)
+                                  baseline=mode, fast_decode=fast,
+                                  table_dtype=jnp.bfloat16 if fast else None)
         base = tr.epoch_baseline_caps(dets, groups) if mode == "epoch" else None
         tr.step(dets, groups, caps, jax.random.PRNGKey(0), baseline_caps=base)
         n = 5 if on_tpu else 1

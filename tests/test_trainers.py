@@ -224,3 +224,31 @@ def test_scst_epoch_baseline_mode(cfg):
                               jax.random.PRNGKey(0))
     assert adv_e == adv_s
     np.testing.assert_allclose(loss_e, loss_s, rtol=1e-6)
+
+
+def test_scst_fast_decode_runs(cfg):
+    """SCST with fast_decode (fused attention interpret + fused/hoisted step
+    weights): step runs, finite loss; sampled trajectories come from the
+    same distribution family (gradient logprobs stay on the strict path)."""
+    import jax.numpy as jnp
+    from vsrcic_tpu.metrics import Cider
+    from vsrcic_tpu.text import TextField, ptb_tokenize
+    from vsrcic_tpu.train.captioner import CaptionerSCSTTrainer
+
+    rng = np.random.RandomState(0)
+    caps = ["a b c d", "b c a e", "c d e a", "a e b d"]
+    tf2 = TextField(fix_length=6)
+    tf2.build_vocab(caps, min_freq=1)
+    cider = Cider(gts=ptb_tokenize({i: [c] for i, c in enumerate(caps)}))
+    cfg2 = CaptionerConfig(seq_len=6, vocab_size=len(tf2.vocab),
+                           bos_idx=tf2.bos_idx,
+                           det_feat_size=cfg.det_feat_size,
+                           input_encoding_size=cfg.input_encoding_size,
+                           rnn_size=cfg.rnn_size, att_size=cfg.att_size)
+    params = init_captioner_params(jax.random.PRNGKey(0), cfg2)
+    tr = CaptionerSCSTTrainer(cfg2, params, tf2, cider, lr=1e-4,
+                              fast_decode=True, pallas_interpret=True)
+    dets = rng.rand(4, 5, cfg.det_feat_size).astype(np.float32)
+    groups = rng.rand(4, 3, 4, cfg.det_feat_size).astype(np.float32)
+    loss, adv = tr.step(dets, groups, caps, jax.random.PRNGKey(1))
+    assert np.isfinite(loss) and np.isfinite(adv)

@@ -29,6 +29,9 @@ def main(argv=None):
                    "the reference scheme (frozen epoch-start greedy pass, "
                    "ref train.py:122-138)")
     p.add_argument("--patience", default=5, type=int)
+    p.add_argument("--fast_decode", action="store_true",
+                   help="SCST sample/greedy decodes via the fused Pallas "
+                   "fast path (TPU); gradient logprobs stay strict")
     p.add_argument("--log_dir", default=None, type=str)
     opt = p.parse_args(argv)
     # --dataset flickr is an EXTENSION: the reference ships no Flickr
@@ -121,9 +124,14 @@ def main(argv=None):
         ref_caps = [e.text for e in train_ex]
         cider_train = Cider(gts=ptb_tokenize(
             {i: [c] for i, c in enumerate(ref_caps)}))
+        import jax.numpy as jnp
         trainer = CaptionerSCSTTrainer(cfg, params, tf, cider_train,
                                        lr=opt.lr,
-                                       baseline=opt.scst_baseline)
+                                       baseline=opt.scst_baseline,
+                                       fast_decode=opt.fast_decode,
+                                       table_dtype=(jnp.bfloat16
+                                                    if opt.fast_decode
+                                                    else None))
     else:
         trainer = CaptionerXETrainer(cfg, params, lr=opt.lr)
 

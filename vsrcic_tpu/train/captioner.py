@@ -119,7 +119,8 @@ class CaptionerSCSTTrainer:
 
     def __init__(self, cfg: CaptionerConfig, params, text_field: TextField,
                  cider: Cider, lr: float = 5e-4, mesh=None,
-                 baseline: str = "step"):
+                 baseline: str = "step", fast_decode: bool = False,
+                 table_dtype=None, pallas_interpret: bool = False):
         if baseline not in ("step", "epoch"):
             raise ValueError("baseline must be 'step' or 'epoch'")
         self.cfg = cfg
@@ -129,19 +130,46 @@ class CaptionerSCSTTrainer:
         self.tx = adam(lr)
         self.state = init_train_state(params, self.tx)
 
+        # fast_decode: run the RL sample/greedy decodes through the fused
+        # Pallas attention + fused/hoisted step weights (the beam fast path).
+        # Decode math reassociates (fp-level) so sampled trajectories can
+        # differ from the strict path's on near-ties; the GRADIENT logprobs
+        # (scst_loss_fn -> forced_feedback_logprobs) stay on the strict path
+        # either way, so the objective is the same estimator.
+        self._fast = None
+        if fast_decode:
+            from vsrcic_tpu.models.api import ControllableCaptioner
+            self._fast = ControllableCaptioner(
+                cfg, params=params, use_fused_attention=True,
+                table_dtype=table_dtype, pallas_interpret=pallas_interpret)
+
+        def decode_statics(params, detections, det_groups):
+            if self._fast is not None:
+                return self._fast._fused_statics(params, detections,
+                                                 det_groups)
+            return precompute_statics(params, cfg, detections,
+                                      det_groups), None, None
+
         def sample_and_greedy(params, detections, det_groups, rng):
-            statics = precompute_statics(params, cfg, detections, det_groups)
-            sampled = sample_decode(params, cfg, statics, rng)
-            base_words, _ = greedy_decode(params, cfg, statics)
+            statics, fused, fw = decode_statics(params, detections,
+                                                det_groups)
+            sampled = sample_decode(params, cfg, statics, rng,
+                                    fused_fn=fused, fused_w=fw)
+            base_words, _ = greedy_decode(params, cfg, statics,
+                                          fused_fn=fused, fused_w=fw)
             return sampled, base_words
 
         def sample_step(params, detections, det_groups, rng):
-            statics = precompute_statics(params, cfg, detections, det_groups)
-            return sample_decode(params, cfg, statics, rng)
+            statics, fused, fw = decode_statics(params, detections,
+                                                det_groups)
+            return sample_decode(params, cfg, statics, rng, fused_fn=fused,
+                                 fused_w=fw)
 
         def greedy_step(params, detections, det_groups):
-            statics = precompute_statics(params, cfg, detections, det_groups)
-            return greedy_decode(params, cfg, statics)
+            statics, fused, fw = decode_statics(params, detections,
+                                                det_groups)
+            return greedy_decode(params, cfg, statics, fused_fn=fused,
+                                 fused_w=fw)
 
         def grad_step(state: TrainState, detections, det_groups, words,
                       gates, advantage):
