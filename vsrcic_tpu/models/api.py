@@ -125,6 +125,12 @@ class ControllableCaptioner:
                                      verb_list=verb_list)
         if not self.use_fused_attention:
             return statics, None, None
+        if detections.shape[0] * beam % 8 and not self.pallas_interpret:
+            # Pallas TPU requires row blocks divisible by 8; fall back to
+            # the XLA step for odd batches (e.g. SCST batch 100) rather
+            # than crash — pad the batch to a multiple of 8 to get the
+            # fused path
+            return statics, None, None
         fused = self._fused_fn(detections.shape[0], det_groups.shape[1],
                                det_groups.shape[2], det_groups.shape[3],
                                beam)
