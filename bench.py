@@ -88,8 +88,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_iters):
         outs.append(run())
-    import jax as _jax
-    _jax.block_until_ready(outs)
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / n_iters
     caps_per_sec = batch / dt
 

@@ -129,7 +129,13 @@ class ControllableCaptioner:
             # Pallas TPU requires row blocks divisible by 8; fall back to
             # the XLA step for odd batches (e.g. SCST batch 100) rather
             # than crash — pad the batch to a multiple of 8 to get the
-            # fused path
+            # fused path. NB the table-dtype cast above still applies.
+            import warnings
+            warnings.warn(
+                "use_fused_attention: batch*beam=%d is not a multiple of 8;"
+                " falling back to the XLA step (pad the batch to get the"
+                " fused kernel)" % (detections.shape[0] * beam),
+                stacklevel=2)
             return statics, None, None
         fused = self._fused_fn(detections.shape[0], det_groups.shape[1],
                                det_groups.shape[2], det_groups.shape[3],

@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 
 
+def fused_m_pad(m: int) -> int:
+    """Region-axis padding the kernel's HBM DMA slices require (8-row
+    sublane tiling). Single source of truth — the eval pipeline emits
+    recons pre-padded with this same rule."""
+    return ((m + 7) // 8) * 8
+
+
 def make_fused_group_attention(b_items: int, l: int, m: int, d: int, a: int,
                                rows: int, rows_per_block: int = 8,
                                interpret: bool = False,
@@ -42,7 +49,7 @@ def make_fused_group_attention(b_items: int, l: int, m: int, d: int, a: int,
     n_blocks = rows // rows_per_block
     # HBM DMA slices must be aligned to the (8, 128) tiling on the
     # second-to-last dim: pad M up; padded rows are all-zero -> masked out
-    m_pad = ((m + 7) // 8) * 8
+    m_pad = fused_m_pad(m)
 
     def kernel(item_ref, ctrl_ref, ha_ref, sentw_ref, sentmask_ref,
                fcsent_ref, atta_ref, det_hbm, proj_hbm,

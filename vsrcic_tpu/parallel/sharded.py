@@ -19,10 +19,21 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax>=0.4.35 exports it at the top level
+try:  # newer jax exports it at the top level
     from jax import shard_map as _shard_map
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def _vma_kwargs():
+    """The replication-check kwarg was renamed (check_rep -> check_vma);
+    pick whichever this jax accepts so both import paths actually work."""
+    import inspect
+    params = inspect.signature(_shard_map).parameters
+    for name in ("check_vma", "check_rep"):
+        if name in params:
+            return {name: False}
+    return {}
 
 
 def sharded_beam_search_v(captioner, mesh: Mesh, detections, det_groups,
@@ -34,8 +45,9 @@ def sharded_beam_search_v(captioner, mesh: Mesh, detections, det_groups,
     Returns the same BeamResult as the single-chip call, token-exact
     (tests/test_parallel.py).
     """
+    import numpy as _np
     n = mesh.shape["data"]
-    b = jnp.asarray(detections).shape[0]
+    b = _np.shape(detections)[0]  # no device transfer just for the size
     if b % n:
         raise ValueError("batch %d not divisible by data axis %d" % (b, n))
     local_b = b // n
@@ -55,7 +67,7 @@ def sharded_beam_search_v(captioner, mesh: Mesh, detections, det_groups,
 
     fn = _shard_map(local_fn, mesh=mesh,
                     in_specs=(P(), P("data"), P("data"), P("data"), P()),
-                    out_specs=P("data"), check_vma=False)
+                    out_specs=P("data"), **_vma_kwargs())
 
     data = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())

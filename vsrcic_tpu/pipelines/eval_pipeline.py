@@ -79,7 +79,8 @@ class EvalPipeline:
         self._recons_dtype = getattr(captioner, "table_dtype", None)
         self._recons_m_pad = None
         if getattr(captioner, "use_fused_attention", False):
-            self._recons_m_pad = lambda m: ((m + 7) // 8) * 8
+            from vsrcic_tpu.ops.fused_attention import fused_m_pad
+            self._recons_m_pad = fused_m_pad
         def build_recons(seqs_all, rank_idx, rank_valid):
             out = self._build_recons_impl(seqs_all, rank_idx, rank_valid)
             if self._recons_dtype is not None:
