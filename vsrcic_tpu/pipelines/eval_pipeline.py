@@ -29,7 +29,8 @@ from vsrcic_tpu.models.s_ssp import (SSPConfig, ssp_generate,
                                      ssp_generate_fast)
 from vsrcic_tpu.models.sinkhorn import SinkhornConfig, sinkhorn_net_apply
 from vsrcic_tpu.ops.assignment import hungarian_assign
-from vsrcic_tpu.pipelines.sr_groups import VerbGroup, extract_verb_groups
+from vsrcic_tpu.pipelines.sr_groups import (VerbGroup,
+                                            extract_verb_groups_batch)
 from vsrcic_tpu.utils.rank_merge import verb_rank_merge
 
 
@@ -126,14 +127,12 @@ class EvalPipeline:
         Composition per job mirrors eval_coco.py:127-219 with the planner
         and Sinkhorn batched across jobs.
         """
-        # -- phase A: extract verb groups (host) -------------------------
-        all_groups: List[VerbGroup] = []
-        group_owner: List[int] = []
-        for p, job in enumerate(jobs):
-            for g in extract_verb_groups(job.control_verb, job.det_seqs_v,
-                                         job.det_seqs_sr):
-                all_groups.append(g)
-                group_owner.append(p)
+        # -- phase A: extract verb groups (host, numpy-vectorized over the
+        # batch; loop-oracle-exact, tests/test_sr_groups_batch.py) ---------
+        all_groups, group_owner = extract_verb_groups_batch(
+            np.stack([j.control_verb for j in jobs]),
+            np.stack([j.det_seqs_v for j in jobs]),
+            np.stack([j.det_seqs_sr for j in jobs]))
 
         # -- phase B: one batched constrained planner call ---------------
         if all_groups:

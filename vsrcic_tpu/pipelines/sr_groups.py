@@ -94,3 +94,101 @@ def batch_planner_inputs(groups: List[VerbGroup]):
         gt_sr = np.stack([g.gt_sr_seq for g in groups])
         return verbs, det_sr, gt_sr
     return verbs, det_sr
+
+
+def extract_verb_groups_batch(control_verbs, det_seqs_v_all, det_seqs_sr_all,
+                              max_sr: int = 10):
+    """Vectorized extract_verb_groups over a whole batch of jobs.
+
+    control_verbs: (P, 8); det_seqs_v_all/det_seqs_sr_all: (P, T, 8).
+    Returns (groups, owners) — the same VerbGroups, in the same order, as
+    running extract_verb_groups per job (fuzz-pinned by
+    tests/test_sr_groups_batch.py, incl. the reference's truncation quirk:
+    once the max_sr-th DISTINCT role has appeared, every later match is
+    dropped entirely, even repeats of already-seen roles).
+
+    The per-(job, verb) grid scan is the eval pipeline's largest host slice
+    (~34 ms per 1024 jobs as a Python loop); here the (P, 8, T, 8) match
+    mask, first-occurrence ranks, truncation and group boundaries are all
+    numpy, with only the final VerbGroup assembly in Python.
+    """
+    cv = np.asarray(control_verbs)
+    V = np.asarray(det_seqs_v_all)
+    S = np.asarray(det_seqs_sr_all)
+    P, T, K8 = V.shape
+    n_verbs = cv.shape[1]
+
+    keep_verb = np.cumprod(cv != 0, axis=1).astype(bool)    # until first 0
+    # match mask over (P, n_verbs, T, 8); np.nonzero returns row-major order
+    M = (V[:, None, :, :] == cv[:, :, None, None]) & keep_verb[:, :, None, None]
+    p_i, v_i, j_i, k_i = np.nonzero(M)
+    if len(p_i) == 0:
+        return [], []
+    sr_f = S[p_i, j_i, k_i]
+    sr_int = sr_f.astype(np.int64)
+    gid = p_i.astype(np.int64) * n_verbs + v_i
+
+    # group boundaries (gid ascending because np.nonzero is lexicographic)
+    uniq_gid, g_start = np.unique(gid, return_index=True)
+    g_of = np.searchsorted(uniq_gid, gid)                   # dense group idx
+    pos = np.arange(len(gid)) - g_start[g_of]               # pos within group
+
+    # first occurrence of each (group, sr)
+    assert sr_int.min() >= 0
+    sr_space = int(sr_int.max()) + 1
+    key = gid * sr_space + sr_int
+    uniq_key, first_idx = np.unique(key, return_index=True)
+    is_first = np.zeros(len(gid), bool)
+    is_first[first_idx] = True
+
+    # truncation: match kept iff #(distinct-sr first occurrences earlier in
+    # its group) < max_sr
+    firsts_pos = pos[is_first]
+    firsts_g = g_of[is_first]
+    order = np.lexsort((firsts_pos, firsts_g))
+    firsts_pos_sorted = firsts_pos[order]
+    fg_uniq, fg_start = np.unique(firsts_g[order], return_index=True)
+    # per-match: count firsts in its group with pos < the match's pos —
+    # encode (group, pos) into one sortable key and searchsorted against
+    # the (group, first_pos) keys, then subtract the group's slice start
+    f_start = fg_start[np.searchsorted(fg_uniq, g_of)]
+    BIG = T * K8 + 2
+    firsts_key_sorted = firsts_g[order] * BIG + firsts_pos_sorted
+    match_key = g_of * BIG + pos
+    n_before = (np.searchsorted(firsts_key_sorted, match_key, side="left")
+                - f_start)
+    kept = n_before < max_sr
+
+    groups: List[VerbGroup] = []
+    owners: List[int] = []
+    # assemble per group (boundaries via searchsorted on the kept subset)
+    kept_g = g_of[kept]
+    kept_j = j_i[kept]
+    kept_sr_f = sr_f[kept]
+    kept_sr_i = sr_int[kept]
+    kept_first = is_first[kept]
+    bounds = np.searchsorted(kept_g, np.arange(len(uniq_gid) + 1))
+    sr_dtype = S.dtype
+    for g in range(len(uniq_gid)):
+        lo, hi = bounds[g], bounds[g + 1]
+        if lo == hi:
+            continue
+        p = int(uniq_gid[g]) // n_verbs
+        vi = int(uniq_gid[g]) % n_verbs
+        det_sr_seq = np.zeros(T, sr_dtype)
+        sr_find: Dict[int, List[int]] = {}
+        need: Set[int] = set()
+        f = 0
+        for x in range(lo, hi):
+            sr = int(kept_sr_i[x])
+            if kept_first[x]:
+                sr_find[sr] = [int(kept_j[x])]
+                det_sr_seq[f] = kept_sr_f[x]
+                f += 1
+            else:
+                sr_find[sr].append(int(kept_j[x]))
+                need.add(sr)
+        groups.append(VerbGroup(verb=float(cv[p, vi]), det_sr_seq=det_sr_seq,
+                                sr_find=sr_find, need_re_rank=need))
+        owners.append(p)
+    return groups, owners
