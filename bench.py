@@ -31,7 +31,9 @@ def main():
     # batch 1024 measured best post-megakernel (weights are read once per
     # decode step, so captions per weight-read scale with batch: 256->3081,
     # 512->3860, 1024->4356, 2048->4315 caps/s; docs/ENGINEERING_NOTES.md)
-    batch = 1024 if on_tpu else 4
+    import os as _os
+    batch = (int(_os.environ.get("VSRCIC_BENCH_BATCH", "1024"))
+             if on_tpu else 4)
     beam = 5
     cfg = CaptionerConfig(seq_len=20, vocab_size=10000, bos_idx=2,
                           det_feat_size=2048, input_encoding_size=1000,

@@ -82,15 +82,11 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
             run_m[:] = jnp.full_like(run_m, NEG)
             run_s[:] = jnp.zeros_like(run_s)
 
-        h2_blk = h2_ref[:]
-        if w_ref.dtype == jnp.bfloat16:
-            # bf16 x bf16 runs as ONE MXU pass (f32 accumulate); an f32 lhs
-            # against bf16 tables promotes to a multi-pass f32 matmul —
-            # measured 2.9 ms/step for this call at 5120 rows. The fast path
-            # already accepts bf16 table rounding; rounding h2 too is the
-            # same order of error (token-match stats in ENGINEERING_NOTES).
-            h2_blk = h2_blk.astype(jnp.bfloat16)
-        logits = jnp.dot(h2_blk, w_ref[:],
+        # NB: do NOT cast h2 to bf16 in-kernel — the extra (rows_blk, r_pad)
+        # temp pushes the scoped VMEM over 16 MB at rows>=10240 (batch 2048
+        # fails to compile), and the cast measured NEUTRAL end-to-end
+        # (4499 vs 4474 caps/s): the f32 x bf16 dot already runs fine
+        logits = jnp.dot(h2_ref[:], w_ref[:],
                          preferred_element_type=jnp.float32) + b_ref[0, :]
 
         # running logsumexp
