@@ -123,3 +123,51 @@ def test_sharded_pallas_kernels_under_shard_map():
                                   np.asarray(sharded.words))
     np.testing.assert_array_equal(np.asarray(single.gates),
                                   np.asarray(sharded.gates))
+
+
+def test_sharded_eval_pipeline_matches_single():
+    """EvalPipeline(mesh=...) shards the beam over the data axis (padding a
+    non-divisible job count); tokens equal the single-device pipeline."""
+    import jax.numpy as jnp
+    from vsrcic_tpu.models.s_ssp import SSPConfig, init_ssp_params
+    from vsrcic_tpu.models.sinkhorn import (SinkhornConfig,
+                                            init_sinkhorn_params)
+    from vsrcic_tpu.pipelines import CaptionJob, EvalPipeline
+
+    cfg = CaptionerConfig(seq_len=8, vocab_size=40, bos_idx=2,
+                          det_feat_size=D, input_encoding_size=12,
+                          rnn_size=10, att_size=8)
+    cap = ControllableCaptioner(cfg, key=jax.random.PRNGKey(9),
+                                verb_2_vob_all={"3": [5, 6]})
+    ssp_cfg = SSPConfig(hidden_size=32, embed_size=32)
+    ssp_params = init_ssp_params(jax.random.PRNGKey(1), ssp_cfg)
+    kcfg = SinkhornConfig()
+    kparams = init_sinkhorn_params(jax.random.PRNGKey(2), kcfg)
+
+    rng = np.random.RandomState(9)
+    L_, M_ = 10, 4
+    jobs = []
+    for p in range(6):   # NOT divisible by the 8-device mesh -> pad path
+        job = CaptionJob(
+            seqs_vis=rng.rand(L_, 2048).astype(np.float32),
+            seqs_txt=rng.rand(L_, 300).astype(np.float32),
+            seqs_pos=rng.rand(L_, 4).astype(np.float32),
+            seqs_all=rng.rand(L_, M_, D).astype(np.float32),
+            control_verb=np.array([3.0, 0, 0, 0, 0, 0, 0, 0]),
+            det_seqs_v=np.zeros((L_, 8)), det_seqs_sr=np.zeros((L_, 8)),
+            verb_list=np.full((L_, 1), -1.0))
+        job.det_seqs_v[0, 0] = job.det_seqs_v[1, 0] = 3.0
+        job.det_seqs_sr[0, 0] = 2.0
+        job.det_seqs_sr[1, 0] = 7.0
+        jobs.append(job)
+    dets = rng.rand(len(jobs), 6, D).astype(np.float32)
+
+    single = EvalPipeline(cap, ssp_params, ssp_cfg, kparams, kcfg,
+                          eos_word=3, beam_size=2)
+    words_single = single.run_batch(dets, jobs)
+
+    mesh = make_mesh(n_data=8)
+    sharded = EvalPipeline(cap, ssp_params, ssp_cfg, kparams, kcfg,
+                           eos_word=3, beam_size=2, mesh=mesh)
+    words_sharded = sharded.run_batch(dets, jobs)
+    np.testing.assert_array_equal(words_single, np.asarray(words_sharded))

@@ -40,8 +40,19 @@ def main(argv=None):
     p.add_argument("--fast_ssp", default=1, type=int,
                    help="KV-cached incremental planner decode (token-exact "
                    "vs the full-buffer path; 0 = strict full-buffer)")
+    p.add_argument("--data_parallel", default=0, type=int,
+                   help="shard the beam over N devices (jax.sharding.Mesh "
+                   "data axis via shard_map; 0 = single device)")
     opt = p.parse_args(argv)
     print(opt)
+    if opt.data_parallel and opt.platform == "cpu":
+        # virtual CPU devices for the mesh (must precede backend init)
+        import os
+        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count=%d"
+                     % opt.data_parallel)
+        os.environ["XLA_FLAGS"] = " ".join(flags)
     force_platform(opt.platform)
     seed_all(opt.seed)
 
@@ -125,11 +136,16 @@ def main(argv=None):
     else:
         kparams = init_sinkhorn_params(jax.random.PRNGKey(opt.seed + 2), kcfg)
 
+    mesh = None
+    if opt.data_parallel:
+        from vsrcic_tpu.parallel import make_mesh
+        mesh = make_mesh(n_data=opt.data_parallel,
+                         devices=jax.devices()[:opt.data_parallel])
     pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg,
                         eos_word=tf.eos_idx, fixed_len=opt.fixed_len,
                         sinkhorn_len=opt.sinkhorn_len,
                         beam_size=opt.beam_size, gt=opt.gt,
-                        fast_ssp=bool(opt.fast_ssp))
+                        fast_ssp=bool(opt.fast_ssp), mesh=mesh)
 
     predictions, gt_captions = [], []
     pending = None  # beam(k) computes while plan(k+1) runs on host

@@ -53,7 +53,14 @@ class EvalPipeline:
                  sinkhorn_cfg: SinkhornConfig, eos_word: int,
                  fixed_len: int = 10, sinkhorn_len: int = 10,
                  beam_size: int = 5, gt: bool = False,
-                 fast_ssp: bool = True):
+                 fast_ssp: bool = True, mesh=None):
+        # mesh: a jax.sharding.Mesh with a "data" axis — the beam (the
+        # pipeline's dominant device phase) then runs via shard_map with
+        # the batch sharded over it, each shard executing the single-chip
+        # fast path (parallel/sharded.py); the plan phase's device calls
+        # (planner/Sinkhorn, ~milliseconds at scale) stay single-device.
+        # Jobs are padded up to a data-axis multiple and sliced back.
+        self.mesh = mesh
         self.captioner = captioner
         self.ssp_params = ssp_params
         self.ssp_cfg = ssp_cfg
@@ -281,6 +288,24 @@ class EvalPipeline:
         reference's strictly sequential per-caption loop cannot express."""
         recons, verb_lists = self.plan_batch_device(
             jobs, seqs_all=seqs_all, sink_feats=sink_feats)
+        if self.mesh is not None:
+            from vsrcic_tpu.parallel.sharded import sharded_beam_search_v
+            n = self.mesh.shape["data"]
+            p = len(jobs)
+            pad = (-p) % n
+            if pad:
+                def z(a, fill=0):
+                    a = jnp.asarray(a)
+                    return jnp.concatenate(
+                        [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], 0)
+                detections_per_job = z(detections_per_job)
+                recons = z(recons)
+                verb_lists = z(np.asarray(verb_lists), fill=-1)
+            res = sharded_beam_search_v(
+                self.captioner, self.mesh, detections_per_job, recons,
+                verb_lists, eos_word=self.eos_word,
+                beam_size=self.beam_size, gt=self.gt)
+            return res.words[:p, 0]
         res = self.captioner.beam_search_v(
             detections_per_job, recons, verb_lists, eos_word=self.eos_word,
             beam_size=self.beam_size, gt=self.gt)
