@@ -67,17 +67,13 @@ def test_fused_attention_beam_equivalence_interpret():
     tbl = {"1": [5, 6]}
     capA = ControllableCaptioner(cfg, key=jax.random.PRNGKey(0),
                                  verb_2_vob_all=tbl)
+    # pallas_interpret builds interpret-mode kernels (CPU) AND keeps the
+    # fused path active for non-8-multiple row counts (the TPU-only
+    # alignment guard would otherwise silently fall back to the XLA step,
+    # turning this test into XLA == XLA)
     capB = ControllableCaptioner(cfg, params=capA.params, verb_2_vob_all=tbl,
-                                 use_fused_attention=True)
-    # interpret-mode kernels for CPU tests
-    from vsrcic_tpu.ops.fused_attention import make_fused_group_attention
-
-    def fused_interp(b, l, m, d, beam):
-        fn = make_fused_group_attention(b, l, m, d, cfg.att_size,
-                                        rows=b * beam, rows_per_block=2,
-                                        interpret=True)
-        return fn
-    capB._fused_fn = fused_interp
+                                 use_fused_attention=True,
+                                 pallas_interpret=True)
 
     rng = np.random.RandomState(1)
     dets = jnp.asarray(rng.rand(B, 6, D).astype(np.float32))

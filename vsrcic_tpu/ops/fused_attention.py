@@ -126,8 +126,8 @@ def make_fused_group_attention(b_items: int, l: int, m: int, d: int, a: int,
                          memory_space=pltpu.VMEM),   # fc_sentinel
             pl.BlockSpec((1, a), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),   # att_a vec
-            pl.BlockSpec(memory_space=pltpu.ANY),    # det_groups (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # groups_proj (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # det_groups (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # groups_proj (HBM)
         ],
         out_specs=[
             pl.BlockSpec((rows_per_block, d), lambda i, *_: (i, 0),
