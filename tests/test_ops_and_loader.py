@@ -61,6 +61,11 @@ def test_prefetch_loader_order_and_errors():
     with pytest.raises(ValueError):
         list(PrefetchLoader(bad(), depth=1))
 
+    # API matches behavior: the producer is single-threaded by design, so
+    # there is no num_threads knob to accept-and-ignore
+    with pytest.raises(TypeError):
+        PrefetchLoader(range(3), num_threads=4)
+
 
 def test_gsrl_datasets():
     from vsrcic_tpu.data import (Dataset_Flickr, NEWDataset, collater_flickr,

@@ -16,13 +16,17 @@ from typing import Any, Callable, Iterable, Iterator
 
 
 class PrefetchLoader:
-    """Wraps any iterable loader with background prefetch of `depth` batches."""
+    """Wraps any iterable loader with background prefetch of `depth` batches.
 
-    def __init__(self, loader: Iterable, depth: int = 2,
-                 num_threads: int = 1):
+    Single producer thread by design: the wrapped loader is an opaque
+    iterator, so the per-batch work happens inside its `next()` — multiple
+    producers would just serialize on the iterator. Per-example parallelism
+    belongs in `DataLoader(num_workers=)` underneath.
+    """
+
+    def __init__(self, loader: Iterable, depth: int = 2):
         self.loader = loader
         self.depth = depth
-        self.num_threads = num_threads
 
     def __len__(self):
         return len(self.loader)

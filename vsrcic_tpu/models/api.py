@@ -182,7 +182,11 @@ class ControllableCaptioner:
     def _vocab_tables(self, vocab_fn):
         """out_fc weights transposed (+padded/cast for the Pallas kernel),
         computed once per captioner and passed as jit args."""
-        kind = "pallas" if hasattr(vocab_fn, "prepare_tables") else "xla"
+        # cache key includes the kernel's padded vocab width: the tile env
+        # vars (VSRCIC_VOCAB_TILE*) can change v_pad mid-process, and stale
+        # tables would silently mismatch the new kernel shape
+        kind = ("pallas" if hasattr(vocab_fn, "prepare_tables") else "xla",
+                getattr(vocab_fn, "v_pad", None))
         if getattr(self, "_vocab_tables_cache", (None, None))[0] != kind:
             w_t = self.decode_params["out_fc"]["weight"].T
             bias = self.decode_params["out_fc"]["bias"]

@@ -133,8 +133,11 @@ def extract_verb_groups_batch(control_verbs, det_seqs_v_all, det_seqs_sr_all,
     g_of = np.searchsorted(uniq_gid, gid)                   # dense group idx
     pos = np.arange(len(gid)) - g_start[g_of]               # pos within group
 
-    # first occurrence of each (group, sr)
-    assert sr_int.min() >= 0
+    # first occurrence of each (group, sr) — the key packing below requires
+    # non-negative SR values (survives `python -O`, unlike an assert)
+    if sr_int.min() < 0:
+        raise ValueError("negative SR value %d in det_seqs_sr; group key "
+                         "packing requires SR >= 0" % int(sr_int.min()))
     sr_space = int(sr_int.max()) + 1
     key = gid * sr_space + sr_int
     uniq_key, first_idx = np.unique(key, return_index=True)

@@ -142,6 +142,12 @@ class CaptionerSCSTTrainer:
             self._fast = ControllableCaptioner(
                 cfg, params=params, use_fused_attention=True,
                 table_dtype=table_dtype, pallas_interpret=pallas_interpret)
+            # this instance is a kernel factory only: every decode threads
+            # the LIVE state.params explicitly, so poison the construction-
+            # time params — any future path reading self._fast.params /
+            # .decode_params would silently use stale epoch-0 weights
+            self._fast.params = None
+            self._fast.decode_params = None
 
         def decode_statics(params, detections, det_groups):
             if self._fast is not None:
@@ -187,13 +193,29 @@ class CaptionerSCSTTrainer:
         caps = self.text_field.decode(np.asarray(words), join_words=False)
         return [dedup_join(c) for c in caps]
 
+    def _pad_decode_batch(self, detections, det_groups):
+        """With --fast_decode, the fused Pallas kernel needs rows % 8 == 0;
+        pad the decode batch by repeating the last example (real features —
+        zero-pad rows would hit the masked-mean division) and slice decode
+        outputs back to the true batch. The grad step always runs unpadded
+        (strict XLA path). Reference SCST batch 100 -> padded 104."""
+        b = int(detections.shape[0])
+        if self._fast is None:
+            return detections, det_groups, b
+        pad = (-b) % 8
+        if pad == 0:
+            return detections, det_groups, b
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+        return rep(detections), rep(det_groups), b
+
     def epoch_baseline_caps(self, detections, det_groups) -> List[str]:
         """Greedy baseline captions for one batch with the current (epoch-
         start) params — reference train.py:122-138."""
-        base_words, _ = self._greedy(self.state.params,
-                                     jnp.asarray(detections),
-                                     jnp.asarray(det_groups))
-        return self._decode_caps(base_words)
+        det_p, grp_p, b = self._pad_decode_batch(jnp.asarray(detections),
+                                                 jnp.asarray(det_groups))
+        base_words, _ = self._greedy(self.state.params, det_p, grp_p)
+        return self._decode_caps(base_words[:b])
 
     def rewards(self, sampled_caps: List[str], baseline_caps: List[str],
                 gt_caps: List[str]) -> np.ndarray:
@@ -208,17 +230,20 @@ class CaptionerSCSTTrainer:
              baseline_caps: List[str] = None) -> Tuple[float, float]:
         detections = jnp.asarray(detections)
         det_groups = jnp.asarray(det_groups)
+        det_p, grp_p, b = self._pad_decode_batch(detections, det_groups)
         if baseline_caps is not None:
-            (words, gates), _ = self._sample(self.state.params, detections,
-                                             det_groups, rng)
+            (words, gates), _ = self._sample(self.state.params, det_p,
+                                             grp_p, rng)
             baseline = baseline_caps
         else:
             if self.baseline == "epoch":
                 raise ValueError("baseline='epoch' requires baseline_caps "
                                  "(from epoch_baseline_caps at epoch start)")
             ((words, gates), _), base_words = self._sample_and_greedy(
-                self.state.params, detections, det_groups, rng)
-            baseline = self._decode_caps(base_words)
+                self.state.params, det_p, grp_p, rng)
+            baseline = self._decode_caps(base_words[:b])
+        words = words[:b]
+        gates = gates[:b]
         sampled = self._decode_caps(words)
         adv = self.rewards(sampled, baseline, gt_caps)
         self.state, loss = self._grad(self.state, detections, det_groups,
