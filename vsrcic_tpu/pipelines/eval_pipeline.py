@@ -132,7 +132,130 @@ class EvalPipeline:
         on device from these indices (see plan_batch/_build_recons_impl).
 
         Composition per job mirrors eval_coco.py:127-219 with the planner
-        and Sinkhorn batched across jobs.
+        and Sinkhorn batched across jobs and every host phase numpy-
+        vectorized (CSR over groups/pairs/slots); the only remaining Python
+        loop is `verb_rank_merge` over multi-verb jobs (inherently
+        sequential, <=8 tiny lists each). Oracle-equivalent to
+        `plan_rank_batch_loop` (tests/test_plan_vectorized.py).
+        """
+        from vsrcic_tpu.pipelines.sr_groups import extract_verb_groups_arrays
+
+        L = self.fixed_len
+        n_jobs = len(jobs)
+        rank_idx = np.zeros((n_jobs, L), np.int32)
+        rank_valid = np.zeros((n_jobs, L), bool)
+
+        ga = extract_verb_groups_arrays(
+            np.stack([j.control_verb for j in jobs]),
+            np.stack([j.det_seqs_v for j in jobs]),
+            np.stack([j.det_seqs_sr for j in jobs]))
+        if ga is None:
+            return rank_idx, rank_valid, np.full((n_jobs, L), -1.0)
+        G = len(ga.owners)
+
+        # -- phase B: one batched constrained planner call -----------------
+        preds, _ = self._ssp_gen(jnp.asarray(ga.verbs[:, None]),
+                                 jnp.asarray(ga.det_sr))
+        preds = np.asarray(preds)
+
+        # -- phase C: batched Sinkhorn + Hungarian over multi-slot pairs ---
+        # rank CSR: per (group, sr) pair the slots in final within-role
+        # order — occurrence order for singletons, Hungarian order for
+        # ambiguous pairs (truncated to sinkhorn_len, ref eval_coco.py:183-200)
+        n = self.sinkhorn_len
+        plen = ga.pair_len
+        pair_off = ga.pair_off
+        multi = np.nonzero(plen > 1)[0]
+        rank_len = np.where(plen > 1, np.minimum(plen, n), plen)
+        rank_off = np.concatenate([[0], np.cumsum(rank_len)])
+        q_rep = np.repeat(np.arange(len(plen)), rank_len)
+        within_r = np.arange(rank_off[-1]) - np.repeat(rank_off[:-1], rank_len)
+        rank_flat = ga.slot_flat[pair_off[:-1][q_rep] + within_r]
+        if multi.size:
+            m = rank_len[multi]                                    # (S,)
+            owner = ga.owners[ga.pair_group[multi]].astype(np.int32)
+            within = np.arange(n)[None, :]                         # (1, n)
+            valid = within < m[:, None]                            # (S, n)
+            lo = pair_off[:-1][multi][:, None]
+            hi = pair_off[1:][multi][:, None]
+            locs_pad = np.where(
+                valid, ga.slot_flat[np.minimum(lo + within, hi - 1)], 0
+            ).astype(np.int32)
+            if sink_feats is None:
+                sink_feats = self.stage_job_feats(jobs)
+            P_soft = np.asarray(self._sinkhorn_gather(
+                *sink_feats, jnp.asarray(owner), jnp.asarray(locs_pad),
+                jnp.asarray(valid)))
+            # profit = P^T as in the reference (eval_coco.py:185); row
+            # assignments are a permutation so the valid entries are
+            # distinct, and invalid slots are pushed past them with n+col
+            assign = hungarian_assign(np.transpose(P_soft, (0, 2, 1)))
+            ordv = np.argsort(np.where(valid, assign, n + within), axis=1)
+            new_locs = np.take_along_axis(locs_pad, ordv, 1)       # (S, n)
+            flat_idx = (rank_off[:-1][multi][:, None] + within)[valid]
+            rank_flat[flat_idx] = new_locs[valid]
+
+        # -- phase D: vectorized rank assembly + per-job merge -------------
+        # per (group, pred position): which pair it selects (row-major order
+        # = the loop's group-then-pred walk, ref eval_coco.py:202-211)
+        pk = ga.pair_key
+        pvalid = np.cumprod(preds != 0, axis=1).astype(bool)   # break at 0
+        safe = preds < ga.sr_space                             # no key alias
+        keys = np.where(safe,
+                        np.arange(G)[:, None] * ga.sr_space + preds, -1)
+        pos_q = np.searchsorted(pk, keys)
+        found = np.where(pos_q < len(pk),
+                         pk[np.minimum(pos_q, len(pk) - 1)] == keys, False)
+        use = pvalid & safe & found
+        gi_sel, _ = np.nonzero(use)
+        sel_q = pos_q[use]
+        counts = rank_len[sel_q]
+        sel_off = np.concatenate([[0], np.cumsum(counts)])
+        rep = np.repeat(np.arange(len(sel_q)), counts)
+        within_s = np.arange(sel_off[-1]) - np.repeat(sel_off[:-1], counts)
+        grank_flat = rank_flat[rank_off[:-1][sel_q][rep] + within_s]
+        g_counts = np.bincount(gi_sel, weights=counts.astype(float),
+                               minlength=G).astype(np.int64)
+        g_off = np.concatenate([[0], np.cumsum(g_counts)])
+
+        # jobs' groups are contiguous (owners nondecreasing by construction)
+        job_g_off = np.searchsorted(ga.owners, np.arange(n_jobs + 1))
+        ng = np.diff(job_g_off)
+
+        # single-verb jobs (the common case): final rank IS the group rank —
+        # vectorized scatter into the (P, L) plane
+        single = np.nonzero(ng == 1)[0]
+        if single.size:
+            gsel = job_g_off[:-1][single]
+            lens = np.minimum(g_counts[gsel], L)
+            p_rep = np.repeat(single, lens)
+            off = np.concatenate([[0], np.cumsum(lens)])
+            w = np.arange(off[-1]) - np.repeat(off[:-1], lens)
+            rank_idx[p_rep, w] = grank_flat[np.repeat(g_off[gsel], lens) + w]
+            rank_valid[p_rep, w] = True
+
+        # multi-verb jobs: sequential order-preserving merges (tiny lists)
+        for p in np.nonzero(ng > 1)[0]:
+            glo, ghi = job_g_off[p], job_g_off[p + 1]
+            final = grank_flat[g_off[glo]:g_off[glo + 1]].tolist()
+            for g in range(glo + 1, ghi):
+                final = verb_rank_merge(
+                    final, grank_flat[g_off[g]:g_off[g + 1]].tolist())
+            k = min(len(final), L)
+            rank_idx[p, :k] = final[:k]
+            rank_valid[p, :k] = True
+
+        # verb_list permuted on host (metadata-sized; exact perm math)
+        job_vl = np.stack([np.asarray(j.verb_list).squeeze(-1) for j in jobs])
+        verb_lists = np.where(
+            rank_valid, np.take_along_axis(job_vl, rank_idx, 1), -1.0)
+        return rank_idx, rank_valid, verb_lists
+
+    def plan_rank_batch_loop(self, jobs: Sequence[CaptionJob], sink_feats=None
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Reference (loop) implementation of plan_rank_batch — the oracle
+        the vectorized path is pinned against; kept because it reads as a
+        direct transcription of eval_coco.py:127-219.
         """
         # -- phase A: extract verb groups (host, numpy-vectorized over the
         # batch; loop-oracle-exact, tests/test_sr_groups_batch.py) ---------

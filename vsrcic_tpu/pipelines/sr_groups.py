@@ -96,22 +96,11 @@ def batch_planner_inputs(groups: List[VerbGroup]):
     return verbs, det_sr
 
 
-def extract_verb_groups_batch(control_verbs, det_seqs_v_all, det_seqs_sr_all,
-                              max_sr: int = 10):
-    """Vectorized extract_verb_groups over a whole batch of jobs.
-
-    control_verbs: (P, 8); det_seqs_v_all/det_seqs_sr_all: (P, T, 8).
-    Returns (groups, owners) — the same VerbGroups, in the same order, as
-    running extract_verb_groups per job (fuzz-pinned by
-    tests/test_sr_groups_batch.py, incl. the reference's truncation quirk:
-    once the max_sr-th DISTINCT role has appeared, every later match is
-    dropped entirely, even repeats of already-seen roles).
-
-    The per-(job, verb) grid scan is the eval pipeline's largest host slice
-    (~34 ms per 1024 jobs as a Python loop); here the (P, 8, T, 8) match
-    mask, first-occurrence ranks, truncation and group boundaries are all
-    numpy, with only the final VerbGroup assembly in Python.
-    """
+def _match_core(control_verbs, det_seqs_v_all, det_seqs_sr_all, max_sr):
+    """Shared vectorized core of the batch extractors: the (P, 8, T, 8)
+    match mask, first-occurrence ranks, the reference truncation quirk and
+    group boundaries, all in numpy. Returns None when there are no matches,
+    else a dict of flat per-kept-match arrays + group boundary arrays."""
     cv = np.asarray(control_verbs)
     V = np.asarray(det_seqs_v_all)
     S = np.asarray(det_seqs_sr_all)
@@ -123,7 +112,7 @@ def extract_verb_groups_batch(control_verbs, det_seqs_v_all, det_seqs_sr_all,
     M = (V[:, None, :, :] == cv[:, :, None, None]) & keep_verb[:, :, None, None]
     p_i, v_i, j_i, k_i = np.nonzero(M)
     if len(p_i) == 0:
-        return [], []
+        return None
     sr_f = S[p_i, j_i, k_i]
     sr_int = sr_f.astype(np.int64)
     gid = p_i.astype(np.int64) * n_verbs + v_i
@@ -162,16 +151,42 @@ def extract_verb_groups_batch(control_verbs, det_seqs_v_all, det_seqs_sr_all,
                 - f_start)
     kept = n_before < max_sr
 
+    return dict(
+        cv=cv, T=T, n_verbs=n_verbs, sr_dtype=S.dtype, sr_space=sr_space,
+        uniq_gid=uniq_gid,
+        kept_g=g_of[kept], kept_j=j_i[kept], kept_sr_f=sr_f[kept],
+        kept_sr_i=sr_int[kept], kept_first=is_first[kept])
+
+
+def extract_verb_groups_batch(control_verbs, det_seqs_v_all, det_seqs_sr_all,
+                              max_sr: int = 10):
+    """Vectorized extract_verb_groups over a whole batch of jobs.
+
+    control_verbs: (P, 8); det_seqs_v_all/det_seqs_sr_all: (P, T, 8).
+    Returns (groups, owners) — the same VerbGroups, in the same order, as
+    running extract_verb_groups per job (fuzz-pinned by
+    tests/test_sr_groups_batch.py, incl. the reference's truncation quirk:
+    once the max_sr-th DISTINCT role has appeared, every later match is
+    dropped entirely, even repeats of already-seen roles).
+
+    The per-(job, verb) grid scan is the eval pipeline's largest host slice
+    (~34 ms per 1024 jobs as a Python loop); here everything up to the final
+    VerbGroup assembly is numpy (`_match_core`).
+    """
+    core = _match_core(control_verbs, det_seqs_v_all, det_seqs_sr_all, max_sr)
+    if core is None:
+        return [], []
+    cv, T, n_verbs = core["cv"], core["T"], core["n_verbs"]
+    uniq_gid = core["uniq_gid"]
+    kept_g, kept_j = core["kept_g"], core["kept_j"]
+    kept_sr_f, kept_sr_i = core["kept_sr_f"], core["kept_sr_i"]
+    kept_first = core["kept_first"]
+
     groups: List[VerbGroup] = []
     owners: List[int] = []
     # assemble per group (boundaries via searchsorted on the kept subset)
-    kept_g = g_of[kept]
-    kept_j = j_i[kept]
-    kept_sr_f = sr_f[kept]
-    kept_sr_i = sr_int[kept]
-    kept_first = is_first[kept]
     bounds = np.searchsorted(kept_g, np.arange(len(uniq_gid) + 1))
-    sr_dtype = S.dtype
+    sr_dtype = core["sr_dtype"]
     for g in range(len(uniq_gid)):
         lo, hi = bounds[g], bounds[g + 1]
         if lo == hi:
@@ -195,3 +210,73 @@ def extract_verb_groups_batch(control_verbs, det_seqs_v_all, det_seqs_sr_all,
                                 sr_find=sr_find, need_re_rank=need))
         owners.append(p)
     return groups, owners
+
+
+@dataclass
+class GroupArrays:
+    """Array (CSR) form of a batch's verb groups — the fully-vectorized
+    counterpart of `extract_verb_groups_batch`'s VerbGroup list, consumed
+    by the eval pipeline's vectorized rank assembly (no per-group Python).
+
+    Groups are ordered exactly as `extract_verb_groups_batch` emits them
+    (job-major, then control-verb order). (group, sr) pairs are ordered by
+    (group, sr value) so `pair_key` is sorted and lookups are searchsorted.
+    Slots within a pair are in grid occurrence order (= reference sr_find).
+    """
+    owners: np.ndarray       # (G,) int64 — owning job per group
+    verbs: np.ndarray        # (G,) float — raw verb codes
+    det_sr: np.ndarray       # (G, T) planner input SR seqs, 0-padded
+    pair_group: np.ndarray   # (Q,) int64 — dense group index per pair
+    pair_sr: np.ndarray      # (Q,) int64 — SR value per pair
+    pair_off: np.ndarray     # (Q+1,) int64 — CSR offsets into slot_flat
+    slot_flat: np.ndarray    # (R,) int64 — region slots, occurrence order
+    sr_space: int            # pair_key = pair_group * sr_space + pair_sr
+
+    @property
+    def pair_key(self) -> np.ndarray:
+        return self.pair_group * self.sr_space + self.pair_sr
+
+    @property
+    def pair_len(self) -> np.ndarray:
+        return self.pair_off[1:] - self.pair_off[:-1]
+
+
+def extract_verb_groups_arrays(control_verbs, det_seqs_v_all,
+                               det_seqs_sr_all, max_sr: int = 10
+                               ) -> Optional[GroupArrays]:
+    """Batch verb-group extraction straight to arrays (no VerbGroup objects,
+    no per-group Python loop). Oracle-equivalent to
+    `extract_verb_groups_batch` (tests/test_sr_groups_batch.py)."""
+    core = _match_core(control_verbs, det_seqs_v_all, det_seqs_sr_all, max_sr)
+    if core is None:
+        return None
+    cv, T, n_verbs = core["cv"], core["T"], core["n_verbs"]
+    uniq_gid = core["uniq_gid"]
+    kept_g, kept_j = core["kept_g"], core["kept_j"]
+    kept_sr_f, kept_sr_i = core["kept_sr_f"], core["kept_sr_i"]
+    kept_first = core["kept_first"]
+    G = len(uniq_gid)
+
+    owners = uniq_gid // n_verbs
+    verbs = cv[owners, uniq_gid % n_verbs].astype(float)
+
+    # det_sr: firsts, in occurrence order, scattered to their first-rank
+    f_idx = np.nonzero(kept_first)[0]                     # group-major order
+    fg = kept_g[f_idx]
+    _, fstart = np.unique(fg, return_index=True)          # every group has >=1
+    frank = np.arange(len(f_idx)) - fstart[np.searchsorted(np.unique(fg), fg)]
+    det_sr = np.zeros((G, T), core["sr_dtype"])
+    det_sr[fg, frank] = kept_sr_f[f_idx]
+
+    # (group, sr) pairs: stable-sort matches by (group, sr value) to get
+    # per-pair slot runs with occurrence order preserved inside each run
+    sr_space = core["sr_space"]
+    mkey = kept_g * sr_space + kept_sr_i
+    order = np.argsort(mkey, kind="stable")
+    slot_flat = kept_j[order].astype(np.int64)
+    ukey, ustart = np.unique(mkey[order], return_index=True)
+    pair_off = np.concatenate([ustart, [len(slot_flat)]]).astype(np.int64)
+    return GroupArrays(owners=owners, verbs=verbs, det_sr=det_sr,
+                       pair_group=ukey // sr_space, pair_sr=ukey % sr_space,
+                       pair_off=pair_off, slot_flat=slot_flat,
+                       sr_space=sr_space)
