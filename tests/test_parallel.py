@@ -71,6 +71,79 @@ def test_data_parallel_training_matches_single():
                                    rtol=5e-5, atol=1e-6)
 
 
+def test_data_parallel_scst_matches_single():
+    """SCST RL step on the 8-device mesh == single-device step: identical
+    sampled trajectories (threefry bits are positional under GSPMD), equal
+    loss/advantage, equal updated params — incl. a batch NOT divisible by
+    the mesh (pad rows carry advantage 0 + exact mean rescale)."""
+    from vsrcic_tpu.metrics import Cider
+    from vsrcic_tpu.text import TextField
+    from vsrcic_tpu.train import CaptionerSCSTTrainer
+
+    tf = TextField(fix_length=6)
+    tf.build_vocab([["a", "dog", "runs", "fast"], ["a", "cat", "sits"]],
+                   min_freq=1)
+    cfg = CaptionerConfig(seq_len=6, vocab_size=len(tf.vocab),
+                          bos_idx=tf.bos_idx, det_feat_size=D,
+                          input_encoding_size=12, rnn_size=10, att_size=8)
+    params = init_captioner_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(2)
+    b = 6   # NOT divisible by 8
+    dets = rng.rand(b, 5, D).astype(np.float32)
+    groups = rng.rand(b, 6, M, D).astype(np.float32)
+    gts = ["a dog runs fast", "a cat sits", "a dog sits",
+           "a cat runs", "a dog runs", "a cat sits fast"]
+
+    tr1 = CaptionerSCSTTrainer(cfg, params, tf, Cider(), lr=1e-3)
+    key = jax.random.PRNGKey(7)
+    loss1, adv1 = tr1.step(dets, groups, gts, key)
+
+    mesh = make_mesh(n_data=8)
+    tr8 = CaptionerSCSTTrainer(cfg, replicate(params, mesh), tf, Cider(),
+                               lr=1e-3, mesh=mesh)
+    loss8, adv8 = tr8.step(dets, groups, gts, key)
+
+    np.testing.assert_allclose(loss1, loss8, rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(adv1, adv8, rtol=2e-5, atol=1e-7)
+    for a, c in zip(jax.tree.leaves(tr1.state.params),
+                    jax.tree.leaves(tr8.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_data_parallel_scst_fast_decode_runs():
+    """mesh + fast_decode: fused decode under shard_map (per-shard PRNG
+    streams) — a full RL step runs and updates params; trajectories are not
+    required to match the single-device stream."""
+    import jax.numpy as jnp
+    from vsrcic_tpu.metrics import Cider
+    from vsrcic_tpu.text import TextField
+    from vsrcic_tpu.train import CaptionerSCSTTrainer
+
+    tf = TextField(fix_length=6)
+    tf.build_vocab([["a", "dog", "runs"], ["a", "cat", "sits"]], min_freq=1)
+    cfg = CaptionerConfig(seq_len=6, vocab_size=len(tf.vocab),
+                          bos_idx=tf.bos_idx, det_feat_size=D,
+                          input_encoding_size=12, rnn_size=10, att_size=8)
+    params = init_captioner_params(jax.random.PRNGKey(4), cfg)
+    rng = np.random.RandomState(4)
+    b = 6   # pads to 64 (8 shards x 8-row Pallas tiles)
+    dets = rng.rand(b, 5, D).astype(np.float32)
+    groups = rng.rand(b, 6, M, D).astype(np.float32)
+    gts = ["a dog runs", "a cat sits", "a dog sits",
+           "a cat runs", "a dog runs", "a cat sits"]
+
+    mesh = make_mesh(n_data=8)
+    tr = CaptionerSCSTTrainer(cfg, replicate(params, mesh), tf, Cider(),
+                              lr=1e-3, mesh=mesh, fast_decode=True,
+                              pallas_interpret=True)
+    p0 = [np.asarray(x).copy() for x in jax.tree.leaves(tr.state.params)]
+    loss, adv = tr.step(dets, groups, gts, jax.random.PRNGKey(11))
+    assert np.isfinite(loss) and np.isfinite(adv)
+    p1 = [np.asarray(x) for x in jax.tree.leaves(tr.state.params)]
+    assert any(not np.array_equal(a, c) for a, c in zip(p0, p1))
+
+
 def test_sharded_candidate_beam_matches_single():
     """The vocab-topk candidate beam ('xla' variant — the Pallas kernel
     doesn't partition under GSPMD) sharded over 8 devices == single-device
@@ -126,9 +199,10 @@ def test_sharded_pallas_kernels_under_shard_map():
 
 
 def test_sharded_eval_pipeline_matches_single():
-    """EvalPipeline(mesh=...) shards the beam over the data axis (padding a
-    non-divisible job count); tokens equal the single-device pipeline."""
-    import jax.numpy as jnp
+    """EvalPipeline(mesh=...) shards EVERY device phase over the data axis —
+    constrained planner generate (group axis), Sinkhorn (ambiguous-pair
+    axis), recons build (job axis) and the beam — each padding its
+    non-divisible axis; tokens equal the single-device pipeline."""
     from vsrcic_tpu.models.s_ssp import SSPConfig, init_ssp_params
     from vsrcic_tpu.models.sinkhorn import (SinkhornConfig,
                                             init_sinkhorn_params)
@@ -138,7 +212,7 @@ def test_sharded_eval_pipeline_matches_single():
                           det_feat_size=D, input_encoding_size=12,
                           rnn_size=10, att_size=8)
     cap = ControllableCaptioner(cfg, key=jax.random.PRNGKey(9),
-                                verb_2_vob_all={"3": [5, 6]})
+                                verb_2_vob_all={"3": [5, 6], "4": [7]})
     ssp_cfg = SSPConfig(hidden_size=32, embed_size=32)
     ssp_params = init_ssp_params(jax.random.PRNGKey(1), ssp_cfg)
     kcfg = SinkhornConfig()
@@ -159,6 +233,15 @@ def test_sharded_eval_pipeline_matches_single():
         job.det_seqs_v[0, 0] = job.det_seqs_v[1, 0] = 3.0
         job.det_seqs_sr[0, 0] = 2.0
         job.det_seqs_sr[1, 0] = 7.0
+        if p % 2:
+            # ambiguous SR (slots 2,3 share SR 5) -> sharded Sinkhorn +
+            # Hungarian; second verb -> rank merge + planner group axis > 1
+            job.det_seqs_v[2, 0] = job.det_seqs_v[3, 0] = 3.0
+            job.det_seqs_sr[2, 0] = job.det_seqs_sr[3, 0] = 5.0
+            job.control_verb[1] = 4.0
+            job.det_seqs_v[4, 1] = job.det_seqs_v[5, 1] = 4.0
+            job.det_seqs_sr[4, 1] = 1.0
+            job.det_seqs_sr[5, 1] = 2.0
         jobs.append(job)
     dets = rng.rand(len(jobs), 6, D).astype(np.float32)
 

@@ -33,6 +33,10 @@ def main(argv=None):
                    help="SCST sample/greedy decodes via the fused Pallas "
                    "fast path (TPU); gradient logprobs stay strict")
     p.add_argument("--log_dir", default=None, type=str)
+    p.add_argument("--data_parallel", default=0, type=int, metavar="N",
+                   help="shard training over N devices (data-parallel mesh; "
+                   "0 = single device). XE shards the jitted train step; "
+                   "SCST shards sample/greedy/grad (rewards stay host-side)")
     opt = p.parse_args(argv)
     # --dataset flickr is an EXTENSION: the reference ships no Flickr
     # captioner-training script (SURVEY.md S7; its flickr checkpoint is
@@ -120,20 +124,43 @@ def main(argv=None):
     if restored is not None:
         params = restored["params"]
 
+    mesh = None
+    if opt.data_parallel:
+        from vsrcic_tpu.parallel import make_mesh, replicate
+        if opt.batch_size % opt.data_parallel and not opt.sample_rl:
+            # XE shards the exact batch; SCST pads internally (exact mean)
+            p.error("--batch_size %d must be divisible by --data_parallel %d"
+                    % (opt.batch_size, opt.data_parallel))
+        mesh = make_mesh(n_data=opt.data_parallel)
+        params = replicate(params, mesh)
+
+    def dp_batches(loader):
+        """Under data-parallel XE, the sharded jit needs the batch axis
+        divisible by the mesh — drop the trailing partial batch (the SCST
+        trainer pads internally with an exact-mean correction instead)."""
+        for batch in loader:
+            if (mesh is not None and not opt.sample_rl
+                    and batch[0][0].shape[0] % opt.data_parallel):
+                print("dropping trailing partial batch of %d (not divisible "
+                      "by --data_parallel %d)"
+                      % (batch[0][0].shape[0], opt.data_parallel))
+                continue
+            yield batch
+
     if opt.sample_rl:
         ref_caps = [e.text for e in train_ex]
         cider_train = Cider(gts=ptb_tokenize(
             {i: [c] for i, c in enumerate(ref_caps)}))
         import jax.numpy as jnp
         trainer = CaptionerSCSTTrainer(cfg, params, tf, cider_train,
-                                       lr=opt.lr,
+                                       lr=opt.lr, mesh=mesh,
                                        baseline=opt.scst_baseline,
                                        fast_decode=opt.fast_decode,
                                        table_dtype=(jnp.bfloat16
                                                     if opt.fast_decode
                                                     else None))
     else:
-        trainer = CaptionerXETrainer(cfg, params, lr=opt.lr)
+        trainer = CaptionerXETrainer(cfg, params, lr=opt.lr, mesh=mesh)
 
     cider_val = Cider()
     step = 0
@@ -149,7 +176,7 @@ def main(argv=None):
             import jax.numpy as jnp
             from vsrcic_tpu.decode.loops import expand_compact_groups
             epoch_baselines = []
-            for batch in loader_train:
+            for batch in dp_batches(loader_train):
                 (dets, _), det_out, _ = batch
                 _, _, det_seqs_test, _ = det_out
                 groups = expand_compact_groups(jnp.asarray(dets),
@@ -158,7 +185,7 @@ def main(argv=None):
                     trainer.epoch_baseline_caps(dets, groups))
         running = 0.0
         n_it = 0
-        for batch in loader_train:
+        for batch in dp_batches(loader_train):
             (dets, _), det_out, caps = batch
             det_seqs, gate_gts, det_seqs_test, _ = det_out
             if opt.sample_rl:

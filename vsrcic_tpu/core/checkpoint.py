@@ -29,6 +29,15 @@ def save_checkpoint(path: str, tree: Dict[str, Any]):
     """
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # host-numpy leaves: checkpoints must be mesh-agnostic — orbax records
+    # leaf shardings, and a ckpt written from an N-device run would then
+    # refuse to restore in a differently-meshed process (restore() passes
+    # no shardings); np.asarray gathers sharded leaves to host
+    try:
+        import jax
+        tree = jax.tree.map(lambda x: np.asarray(x), tree)
+    except ImportError:
+        pass
     try:
         import orbax.checkpoint as ocp
     except ImportError as e:

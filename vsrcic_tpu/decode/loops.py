@@ -28,9 +28,16 @@ def expand_compact_groups(detections, det_ids):
     """
     b = detections.shape[0]
     n = detections.shape[1]
+    d = detections.shape[-1]
     safe = jnp.clip(det_ids, 0, n - 1)
-    b_idx = jnp.arange(b).reshape((b,) + (1,) * (det_ids.ndim - 1))
-    feats = detections[b_idx, safe]                       # (B, ..., M, D)
+    # take_along_axis, NOT detections[iota(b), safe]: the explicit batch-iota
+    # operand hides the batch alignment from GSPMD, which then partitions
+    # the gather with collectives inside the decode scan (deadlocks the CPU
+    # in-process communicator and would all-gather on TPU); batched gather
+    # dims keep it shard-local under a data-sharded batch axis
+    flat = safe.reshape(b, -1)                            # (B, K)
+    feats = jnp.take_along_axis(detections, flat[..., None], axis=1)
+    feats = feats.reshape(det_ids.shape + (d,))           # (B, ..., M, D)
     return jnp.where((det_ids >= 0)[..., None], feats, 0.0)
 
 

@@ -54,12 +54,17 @@ class EvalPipeline:
                  fixed_len: int = 10, sinkhorn_len: int = 10,
                  beam_size: int = 5, gt: bool = False,
                  fast_ssp: bool = True, mesh=None):
-        # mesh: a jax.sharding.Mesh with a "data" axis — the beam (the
-        # pipeline's dominant device phase) then runs via shard_map with
-        # the batch sharded over it, each shard executing the single-chip
-        # fast path (parallel/sharded.py); the plan phase's device calls
-        # (planner/Sinkhorn, ~milliseconds at scale) stay single-device.
-        # Jobs are padded up to a data-axis multiple and sliced back.
+        # mesh: a jax.sharding.Mesh with a "data" axis — EVERY device phase
+        # of the pipeline then runs sharded over it: the beam via shard_map
+        # (each shard executes the single-chip fast path incl. Pallas
+        # kernels, parallel/sharded.py), and the plan phase's three device
+        # calls (constrained planner generate over the group axis, Sinkhorn
+        # over the ambiguous-pair axis, recons build over the job axis) via
+        # GSPMD-sharded jit — all batch-parallel, so GSPMD partitions them
+        # with no collectives and per-chip work is 1/N of each axis.
+        # Each call pads its leading axis to a data-axis multiple (padding
+        # rows are inert: zero verbs/SRs plan to nothing, zero features
+        # normalize to uniform and are discarded) and slices back.
         self.mesh = mesh
         self.captioner = captioner
         self.ssp_params = ssp_params
@@ -76,8 +81,24 @@ class EvalPipeline:
         # the full-buffer path (tests/test_ssp_fast.py; only tokens are
         # consumed here), ~max_len× less decoder compute per step
         gen = ssp_generate_fast if fast_ssp else ssp_generate
-        self._ssp_gen = jax.jit(
-            lambda v, d: gen(ssp_params, ssp_cfg, v, d, mode="not-normal"))
+        if mesh is None:
+            self._ssp_gen = jax.jit(
+                lambda v, d: gen(ssp_params, ssp_cfg, v, d,
+                                 mode="not-normal"))
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            data = NamedSharding(mesh, _P("data"))
+            rep = NamedSharding(mesh, _P())
+            self._mesh_n = mesh.shape["data"]
+            ssp_params_r = jax.device_put(ssp_params, rep)
+            sink_params_r = jax.device_put(sinkhorn_params, rep)
+            jgen = jax.jit(
+                lambda p, v, d: gen(p, ssp_cfg, v, d, mode="not-normal"),
+                in_shardings=(rep, data, data),
+                out_shardings=data)
+            self._ssp_gen = self._pad_sharded(
+                lambda v, d: jgen(ssp_params_r, v, d))
 
         # emit recons directly in the beam's statics-table layout (bf16
         # cast + M padded to the fused kernel's 8-row tiling) so the beam
@@ -101,9 +122,7 @@ class EvalPipeline:
                                         (0, 0)])
             return out
 
-        self._build_recons = jax.jit(build_recons)
-
-        def sinkhorn_gather(vis, txt, pos, owner, locs, valid):
+        def sinkhorn_gather(sink_params, vis, txt, pos, owner, locs, valid):
             """Assemble sinkhorn inputs ON DEVICE: row j of sink input s is
             concat(vis,txt,pos)[owner[s], locs[s, j]] for valid j, else 0 —
             exactly the reference's per-SR copy loop (eval_coco.py:178-183)
@@ -111,19 +130,70 @@ class EvalPipeline:
             feats = jnp.concatenate([vis, txt, pos], -1)   # (P, L, F)
             rows = feats[owner[:, None], locs]             # (S, n, F)
             return sinkhorn_net_apply(
-                sinkhorn_params, sinkhorn_cfg,
+                sink_params, sinkhorn_cfg,
                 jnp.where(valid[:, :, None], rows, 0.0))
 
-        self._sinkhorn_gather = jax.jit(sinkhorn_gather)
+        if mesh is None:
+            self._build_recons = jax.jit(build_recons)
+            jsink = jax.jit(sinkhorn_gather)
+            self._sinkhorn_gather = (
+                lambda vis, txt, pos, owner, locs, valid:
+                jsink(sinkhorn_params, vis, txt, pos, owner, locs, valid))
+        else:
+            self._build_recons = self._pad_sharded(jax.jit(
+                build_recons,
+                in_shardings=(data, data, data), out_shardings=data))
+            # the sink-row gather reads arbitrary jobs' features, so the
+            # (P, L, F) feature tables are REPLICATED and only the pair
+            # axis (owner/locs/valid and the (S, n, n) output) is sharded —
+            # the gather stays shard-local, no collectives
+            jsink = jax.jit(
+                sinkhorn_gather,
+                in_shardings=(rep, rep, rep, rep, data, data, data),
+                out_shardings=data)
+            self._sinkhorn_gather = self._pad_sharded(
+                lambda vis, txt, pos, owner, locs, valid:
+                jsink(sink_params_r, vis, txt, pos, owner, locs, valid),
+                static_args=3)
 
     # ------------------------------------------------------------------
+    def _pad_sharded(self, fn, static_args: int = 0):
+        """Wrap a sharded-jit fn: pad the batched args' leading axis up to a
+        data-axis multiple (zero rows are inert in every wrapped fn) and
+        slice the outputs back. The first `static_args` args are replicated
+        operands and pass through unpadded."""
+        n = self._mesh_n
+
+        def wrapped(*args):
+            stat = args[:static_args]
+            rest = [jnp.asarray(a) for a in args[static_args:]]
+            b = rest[0].shape[0]
+            pad = (-b) % n
+            if pad:
+                rest = [jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+                    for a in rest]
+            out = fn(*stat, *rest)
+            if pad:
+                out = jax.tree_util.tree_map(lambda o: o[:b], out)
+            return out
+        return wrapped
+
     def stage_job_feats(self, jobs: Sequence[CaptionJob]):
         """Device-stage the per-job (vis, txt, pos) tensors the Sinkhorn
-        inputs are gathered from. Callers iterating over the same jobs can
-        stage once and pass the result to plan/run (`sink_feats=`)."""
-        return (jnp.asarray(np.stack([j.seqs_vis for j in jobs])),
-                jnp.asarray(np.stack([j.seqs_txt for j in jobs])),
-                jnp.asarray(np.stack([j.seqs_pos for j in jobs])))
+        inputs are gathered from (replicated across the mesh when sharded —
+        the pair-axis gather reads arbitrary jobs). Callers iterating over
+        the same jobs can stage once and pass the result to plan/run
+        (`sink_feats=`)."""
+        feats = (jnp.asarray(np.stack([j.seqs_vis for j in jobs])),
+                 jnp.asarray(np.stack([j.seqs_txt for j in jobs])),
+                 jnp.asarray(np.stack([j.seqs_pos for j in jobs])))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            feats = jax.device_put(
+                feats, NamedSharding(self.mesh, _P()))
+        return feats
 
     def plan_rank_batch(self, jobs: Sequence[CaptionJob], sink_feats=None
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

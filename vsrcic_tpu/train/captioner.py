@@ -184,25 +184,93 @@ class CaptionerSCSTTrainer:
                 advantage)
             return apply_grads(self.tx, state, grads), loss
 
-        self._sample_and_greedy = jax.jit(sample_and_greedy)
-        self._sample = jax.jit(sample_step)
-        self._greedy = jax.jit(greedy_step)
-        self._grad = jax.jit(grad_step)
+        self.mesh = mesh
+        if mesh is None:
+            self._sample_and_greedy = jax.jit(sample_and_greedy)
+            self._sample = jax.jit(sample_step)
+            self._greedy = jax.jit(greedy_step)
+            self._grad = jax.jit(grad_step)
+        else:
+            # data-parallel RL (ref train.py:147-178 is single-GPU): batch
+            # axes ride the mesh's `data` axis, params/opt replicated, GSPMD
+            # psums the grads. Rewards stay per-example host work on the
+            # full batch (microseconds/caption, no device sync in between).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            self._mesh_n = mesh.shape["data"]
+            self._data_sharding = data
+            self._grad = jax.jit(
+                grad_step,
+                in_shardings=(rep, data, data, data, data, data),
+                out_shardings=(rep, rep))
+            if self._fast is None:
+                # strict XLA decode partitions under GSPMD — and threefry
+                # bits are positional, so sampled trajectories are
+                # IDENTICAL to the single-device run (tests/test_parallel)
+                self._sample_and_greedy = jax.jit(
+                    sample_and_greedy,
+                    in_shardings=(rep, data, data, rep), out_shardings=data)
+                self._sample = jax.jit(
+                    sample_step,
+                    in_shardings=(rep, data, data, rep), out_shardings=data)
+                self._greedy = jax.jit(
+                    greedy_step,
+                    in_shardings=(rep, data, data), out_shardings=data)
+            else:
+                # Pallas kernels don't partition under GSPMD: run the fused
+                # decode via shard_map (each shard = the single-chip fast
+                # program on its local block, like the sharded beam). The
+                # PRNG key is folded with the shard index — a different but
+                # equally valid sample stream per shard.
+                from vsrcic_tpu.parallel.sharded import _shard_map, _vma_kwargs
+                P_ = P
+
+                def local_sg(params, det, grp, rng):
+                    rng = jax.random.fold_in(
+                        rng, jax.lax.axis_index("data"))
+                    return sample_and_greedy(params, det, grp, rng)
+
+                def local_s(params, det, grp, rng):
+                    rng = jax.random.fold_in(
+                        rng, jax.lax.axis_index("data"))
+                    return sample_step(params, det, grp, rng)
+
+                kw = _vma_kwargs()
+                self._sample_and_greedy = jax.jit(_shard_map(
+                    local_sg, mesh=mesh,
+                    in_specs=(P_(), P_("data"), P_("data"), P_()),
+                    out_specs=P_("data"), **kw))
+                self._sample = jax.jit(_shard_map(
+                    local_s, mesh=mesh,
+                    in_specs=(P_(), P_("data"), P_("data"), P_()),
+                    out_specs=P_("data"), **kw))
+                self._greedy = jax.jit(_shard_map(
+                    greedy_step, mesh=mesh,
+                    in_specs=(P_(), P_("data"), P_("data")),
+                    out_specs=P_("data"), **kw))
 
     def _decode_caps(self, words) -> List[str]:
         caps = self.text_field.decode(np.asarray(words), join_words=False)
         return [dedup_join(c) for c in caps]
 
+    def _decode_multiple(self) -> int:
+        """Row-count multiple the decode batch must honor: the fused Pallas
+        kernel needs (per-shard) rows % 8 == 0, and a mesh needs the global
+        batch divisible by the data axis."""
+        mult = 8 if self._fast is not None else 1
+        if self.mesh is not None:
+            mult *= self._mesh_n
+        return mult
+
     def _pad_decode_batch(self, detections, det_groups):
-        """With --fast_decode, the fused Pallas kernel needs rows % 8 == 0;
-        pad the decode batch by repeating the last example (real features —
-        zero-pad rows would hit the masked-mean division) and slice decode
-        outputs back to the true batch. The grad step always runs unpadded
-        (strict XLA path). Reference SCST batch 100 -> padded 104."""
+        """Pad the decode batch up to `_decode_multiple()` by repeating the
+        last example (real features — zero-pad rows would hit the
+        masked-mean division) and slice decode outputs back to the true
+        batch. Reference SCST batch 100 -> padded 104 (fused) / 104*shards.
+        """
         b = int(detections.shape[0])
-        if self._fast is None:
-            return detections, det_groups, b
-        pad = (-b) % 8
+        pad = (-b) % self._decode_multiple()
         if pad == 0:
             return detections, det_groups, b
         rep = lambda a: jnp.concatenate(
@@ -246,6 +314,34 @@ class CaptionerSCSTTrainer:
         gates = gates[:b]
         sampled = self._decode_caps(words)
         adv = self.rewards(sampled, baseline, gt_caps)
-        self.state, loss = self._grad(self.state, detections, det_groups,
-                                      words, gates, jnp.asarray(adv))
+        g_det, g_grp, g_words, g_gates, g_adv = self._pad_grad_batch(
+            detections, det_groups, words, gates, adv)
+        self.state, loss = self._grad(self.state, g_det, g_grp, g_words,
+                                      g_gates, g_adv)
         return float(loss), float(np.mean(adv))
+
+    def _pad_grad_batch(self, detections, det_groups, words, gates, adv):
+        """Mesh grad step: pad the batch to a data-axis multiple with
+        repeated rows whose advantage is 0 (their per-seq loss term
+        vanishes), and rescale the real advantages by padded/true batch so
+        the padded-batch mean equals the true-batch mean EXACTLY (advantage
+        enters the loss linearly) — same estimator, any shard count."""
+        b = len(adv)
+        if self.mesh is None:
+            return (detections, det_groups, words, gates,
+                    jnp.asarray(adv))
+        pad = (-b) % self._mesh_n
+        if pad:
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+            adv = np.concatenate([adv * ((b + pad) / b),
+                                  np.zeros(pad, adv.dtype)])
+            detections, det_groups, words, gates = (
+                rep(detections), rep(det_groups), rep(words), rep(gates))
+        # decode outputs come back sliced/committed with other shardings;
+        # jit with explicit in_shardings refuses to silently reshard
+        out = jax.device_put(
+            (detections, det_groups, words, gates,
+             jnp.asarray(np.asarray(adv).astype(np.float32))),
+            self._data_sharding)
+        return out
