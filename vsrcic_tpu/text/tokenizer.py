@@ -82,7 +82,13 @@ def ptb_tokenize(captions: Union[Dict, Sequence]):
     (speaksee also accepts list-of-lists).
     """
     def tok_one(s: str) -> str:
-        words = ptb_word_tokenize(s.lower())
+        # jar pipeline parity: the Stanford call tokenizes the ORIGINAL
+        # text and lowercases the emitted tokens (-lowerCase), so bracket
+        # tokens come out as "-lrb-"/"-rrb-" — which the coco-caption
+        # PUNCTUATIONS membership test (uppercase "-LRB-") then FAILS to
+        # drop. Lowercase after tokenization, not before, to reproduce
+        # exactly that kept-bracket-token quirk (tests/test_ptb_golden.py).
+        words = (w.lower() for w in ptb_word_tokenize(s))
         return " ".join(w for w in words if w not in _PUNCT_SET)
 
     if isinstance(captions, dict):
