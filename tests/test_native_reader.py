@@ -49,3 +49,73 @@ def test_batch_features_from_packed_store(tmp_path):
     assert batch.shape == (2, 10, 16)
     np.testing.assert_allclose(batch[0, :5], store.get(1).features)
     assert np.all(batch[0, 5:] == 0)
+
+
+def _packed_world(tmp_path, n_imgs=5, dim=16):
+    import h5py
+    from vsrcic_tpu.data import PackedFeatureStore
+    rng = np.random.RandomState(3)
+    h5 = tmp_path / "w.hdf5"
+    with h5py.File(h5, "w") as f:
+        for i in range(1, n_imgs + 1):
+            n = rng.randint(3, 12)
+            f["%d_cls_prob" % i] = rng.rand(n, 4).astype(np.float32)
+            f["%d_features" % i] = rng.rand(n, dim).astype(np.float32)
+            f["%d_boxes" % i] = rng.rand(n, 4).astype(np.float32)
+    return PackedFeatureStore.convert_hdf5(str(h5), str(tmp_path / "pk"))
+
+
+def test_image_field_preprocess_batch_matches_item_path(tmp_path):
+    """The DataLoader's batched native-ingest path must produce the exact
+    per-item field outputs (this is the production COCO/Flickr train/eval
+    ingest when the store is packed)."""
+    from vsrcic_tpu.data import (DataLoader, ImageDetectionsField,
+                                 PairedDataset, RawField)
+    from vsrcic_tpu.data.dataset import Example
+
+    store = _packed_world(tmp_path)
+    field = ImageDetectionsField(store, max_detections=8)
+    paths = ["imgs/COCO_train2014_%012d.jpg" % i for i in range(1, 6)]
+    batch_out = field.preprocess_batch(paths)
+    for x, (feats, iid) in zip(paths, batch_out):
+        f1, i1 = field.preprocess(x)
+        np.testing.assert_array_equal(feats, f1)
+        assert iid == i1
+
+    examples = [Example.fromdict({"image": p, "text": "a b"}) for p in paths]
+    ds = PairedDataset(examples, {"image": field, "text": RawField()})
+    loader = DataLoader(ds, batch_size=3)
+    batches = list(loader)
+    assert len(batches) == 2
+    (feats0, ids0), _ = batches[0]
+    assert feats0.shape == (3, 8, 16)
+    f_ref, _ = field.preprocess(paths[0])
+    np.testing.assert_array_equal(feats0[0], f_ref)
+
+
+def test_flickr_field_preprocess_batch_matches_item_path(tmp_path):
+    from vsrcic_tpu.data import FlickrDetectionField
+    store = _packed_world(tmp_path)
+    field = FlickrDetectionField(store, diverse=True, max_detections=6)
+    paths = ["imgs/%d.jpg" % i for i in range(1, 6)]
+    for x, (feats, iid) in zip(paths, field.preprocess_batch(paths)):
+        f1, i1 = field.preprocess(x)
+        np.testing.assert_array_equal(feats, f1)
+        assert iid == i1
+    plain = FlickrDetectionField(store, diverse=False, max_detections=6)
+    for x, feats in zip(paths, plain.preprocess_batch(paths)):
+        np.testing.assert_array_equal(feats, plain.preprocess(x))
+
+
+def test_preprocess_batch_missing_id_falls_back(tmp_path):
+    from vsrcic_tpu.data import ImageDetectionsField
+    store = _packed_world(tmp_path)
+    field = ImageDetectionsField(store, max_detections=8)
+    paths = ["imgs/COCO_train2014_%012d.jpg" % i for i in (1, 999)]
+    out = field.preprocess_batch(paths)   # per-item fallback (warn + rand)
+    assert out[0][1] == 1 and out[1][1] == 999
+    # missing ids take the reference's rand(10, 2048) affordance (ref
+    # field.py:76-78), padded/truncated to max_detections
+    assert out[1][0].shape == (8, 2048)
+    f_ref, _ = field.preprocess(paths[0])
+    np.testing.assert_array_equal(out[0][0], f_ref)

@@ -54,6 +54,23 @@ class PairedDataset:
         return tuple(field.preprocess(getattr(ex, name))
                      for name, field in self.fields.items())
 
+    def get_batch(self, idxs: Sequence[int], pool=None) -> List[tuple]:
+        """Batch of items with per-field batching: a field exposing
+        `preprocess_batch` ingests the whole batch at once (e.g. the native
+        packed-store gather in ImageDetectionsField); the rest run
+        per-example, on `pool` when given. Item tuples == [self[i] ...]."""
+        cols = {}
+        for name, field in self.fields.items():
+            xs = [getattr(self.examples[i], name) for i in idxs]
+            if hasattr(field, "preprocess_batch"):
+                cols[name] = field.preprocess_batch(xs)
+            elif pool is not None:
+                cols[name] = list(pool.map(field.preprocess, xs))
+            else:
+                cols[name] = [field.preprocess(x) for x in xs]
+        return [tuple(cols[name][j] for name in self.fields)
+                for j in range(len(idxs))]
+
     def __getattr__(self, attr):
         if attr in self.__dict__.get("fields", {}):
             return [getattr(ex, attr) for ex in self.examples]
@@ -93,6 +110,30 @@ class DictionaryDataset:
             values[name] = [field.preprocess(getattr(ex, name))
                             for ex in group]
         return key_val, values
+
+    def get_batch(self, idxs: Sequence[int], pool=None) -> List[tuple]:
+        """Batched items: the key field (detection features in the eval
+        pipelines) goes through its `preprocess_batch` when available —
+        one native gather for the batch's images."""
+        key_field = self.fields[self.key_field]
+        key_xs = [self.keys[i] for i in idxs]
+        if hasattr(key_field, "preprocess_batch"):
+            key_vals = key_field.preprocess_batch(key_xs)
+        else:
+            key_vals = [key_field.preprocess(x) for x in key_xs]
+        def group_values(i):
+            values = {}
+            for name, field in self.fields.items():
+                if name == self.key_field:
+                    continue
+                values[name] = [field.preprocess(getattr(ex, name))
+                                for ex in self.groups[i]]
+            return values
+        if pool is not None:
+            all_values = list(pool.map(group_values, idxs))
+        else:
+            all_values = [group_values(i) for i in idxs]
+        return list(zip(key_vals, all_values))
 
 
 def default_collate(items: List[Any]):
@@ -158,7 +199,11 @@ class DataLoader:
             self.rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
             idxs = [int(i) for i in order[start:start + self.batch_size]]
-            if self._pool is not None:
+            if hasattr(self.dataset, "get_batch"):
+                # batched ingest path: fields with preprocess_batch (native
+                # packed-store gather) read the whole batch at once
+                items = self.dataset.get_batch(idxs, pool=self._pool)
+            elif self._pool is not None:
                 items = list(self._pool.map(self.dataset.__getitem__, idxs))
             else:
                 items = [self.dataset[i] for i in idxs]

@@ -273,6 +273,23 @@ class ImageDetectionsField(RawField):
             precomp = precomp[:self.max_detections]
         return precomp.astype(np.float32), image_id
 
+    def preprocess_batch(self, xs):
+        """Whole-batch ingest: ONE multithreaded native gather from the
+        packed store's memmap into the padded (B, max_det, D) batch
+        (native/packed_reader.cpp; numpy fallback inside), replacing B
+        per-item reads — the DataLoader calls this via
+        PairedDataset.get_batch. Values identical to preprocess()
+        (tests/test_native_reader.py)."""
+        from vsrcic_tpu.data.native_reader import batch_features
+        from vsrcic_tpu.data.store import PackedFeatureStore
+        ids = [coco_image_id(x) for x in xs]
+        if (self.sort_by_prob
+                or not isinstance(self.store, PackedFeatureStore)
+                or any(str(i) not in self.store.index for i in ids)):
+            return [self.preprocess(x) for x in xs]
+        feats = batch_features(self.store, ids, self.max_detections)
+        return [(feats[j], ids[j]) for j in range(len(ids))]
+
 
 # ---------------------------------------------------------------------------
 # D7: COCOControlSetField (Sinkhorn training, COCO) — ref :156-270

@@ -58,6 +58,19 @@ class FlickrDetectionField(RawField):
             return precomp.astype(np.float32), image_id
         return precomp.astype(np.float32)
 
+    def preprocess_batch(self, xs):
+        """Batched native ingest — see ImageDetectionsField.preprocess_batch."""
+        from vsrcic_tpu.data.native_reader import batch_features
+        from vsrcic_tpu.data.store import PackedFeatureStore
+        ids = [int(flickr_image_id(x)) for x in xs]
+        if (not isinstance(self.store, PackedFeatureStore)
+                or any(str(i) not in self.store.index for i in ids)):
+            return [self.preprocess(x) for x in xs]
+        feats = batch_features(self.store, ids, self.max_detections)
+        if self.diverse:
+            return [(feats[j], ids[j]) for j in range(len(ids))]
+        return [feats[j] for j in range(len(ids))]
+
 
 # ---------------------------------------------------------------------------
 # D12: FlickrControlSetField — ref :746-908 (superseded in-repo by _Verb)
