@@ -64,6 +64,8 @@ def main():
     ap.add_argument("--bf16_tables", type=int, default=1)
     ap.add_argument("--vocab_topk", type=int, default=1)
     ap.add_argument("--fast_ssp", type=int, default=1)
+    ap.add_argument("--profile_plan", action="store_true",
+                    help="also print a per-slice plan-phase breakdown")
     args = ap.parse_args()
 
     import jax
@@ -132,6 +134,32 @@ def main():
         return t1 - t0, t2 - t0
 
     run_once()  # compile
+    if args.profile_plan:
+        from vsrcic_tpu.pipelines.sr_groups import extract_verb_groups_arrays
+        sl = {}
+
+        def t(name, fn):
+            t0 = time.perf_counter()
+            for _ in range(args.iters or 3):
+                r = fn()
+            sl[name] = round((time.perf_counter() - t0) * 1e3
+                             / (args.iters or 3), 2)
+            return r
+
+        cv = np.stack([j.control_verb for j in jobs])
+        dv = np.stack([j.det_seqs_v for j in jobs])
+        dsr = np.stack([j.det_seqs_sr for j in jobs])
+        ga = t("extract_ms", lambda: extract_verb_groups_arrays(cv, dv, dsr))
+        t("ssp_ms", lambda: np.asarray(pipe._ssp_gen(
+            jnp.asarray(ga.verbs[:, None]), jnp.asarray(ga.det_sr))[0]))
+        t("full_rank_ms", lambda: pipe.plan_rank_batch(
+            jobs, sink_feats=sink_feats))
+        rank_idx, rank_valid, _ = pipe.plan_rank_batch(
+            jobs, sink_feats=sink_feats)
+        t("recons_ms", lambda: jax.block_until_ready(pipe._build_recons(
+            seqs_all_dev, jnp.asarray(rank_idx), jnp.asarray(rank_valid))))
+        print(json.dumps({"plan_breakdown": sl, "groups": len(ga.verbs)}))
+
     t_plan = t_total = 0.0
     for _ in range(iters):
         dt_plan, dt_total = run_once()
