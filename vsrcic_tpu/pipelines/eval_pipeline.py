@@ -223,15 +223,15 @@ class EvalPipeline:
             return rank_idx, rank_valid, np.full((n_jobs, L), -1.0)
         G = len(ga.owners)
 
-        # -- phase B: one batched constrained planner call -----------------
-        preds, _ = self._ssp_gen(jnp.asarray(ga.verbs[:, None]),
-                                 jnp.asarray(ga.det_sr))
-        preds = np.asarray(preds)
-
-        # -- phase C: batched Sinkhorn + Hungarian over multi-slot pairs ---
-        # rank CSR: per (group, sr) pair the slots in final within-role
-        # order — occurrence order for singletons, Hungarian order for
-        # ambiguous pairs (truncated to sinkhorn_len, ref eval_coco.py:183-200)
+        # -- phases B+C dispatched together, Sinkhorn FIRST ---------------
+        # the two device calls are independent (the planner orders roles,
+        # Sinkhorn orders regions within a role), so both are enqueued
+        # before either is read back: the device runs Sinkhorn then the
+        # planner while the host's Hungarian rounding + rank scatter
+        # overlap the planner's execution. rank CSR: per (group, sr) pair
+        # the slots in final within-role order — occurrence order for
+        # singletons, Hungarian order for ambiguous pairs (truncated to
+        # sinkhorn_len, ref eval_coco.py:183-200)
         n = self.sinkhorn_len
         plen = ga.pair_len
         pair_off = ga.pair_off
@@ -241,6 +241,8 @@ class EvalPipeline:
         q_rep = np.repeat(np.arange(len(plen)), rank_len)
         within_r = np.arange(rank_off[-1]) - np.repeat(rank_off[:-1], rank_len)
         rank_flat = ga.slot_flat[pair_off[:-1][q_rep] + within_r]
+
+        P_soft_dev = None
         if multi.size:
             m = rank_len[multi]                                    # (S,)
             owner = ga.owners[ga.pair_group[multi]].astype(np.int32)
@@ -253,9 +255,15 @@ class EvalPipeline:
             ).astype(np.int32)
             if sink_feats is None:
                 sink_feats = self.stage_job_feats(jobs)
-            P_soft = np.asarray(self._sinkhorn_gather(
+            P_soft_dev = self._sinkhorn_gather(
                 *sink_feats, jnp.asarray(owner), jnp.asarray(locs_pad),
-                jnp.asarray(valid)))
+                jnp.asarray(valid))
+
+        preds_dev, _ = self._ssp_gen(jnp.asarray(ga.verbs[:, None]),
+                                     jnp.asarray(ga.det_sr))
+
+        if P_soft_dev is not None:
+            P_soft = np.asarray(P_soft_dev)
             # profit = P^T as in the reference (eval_coco.py:185); row
             # assignments are a permutation so the valid entries are
             # distinct, and invalid slots are pushed past them with n+col
@@ -264,6 +272,7 @@ class EvalPipeline:
             new_locs = np.take_along_axis(locs_pad, ordv, 1)       # (S, n)
             flat_idx = (rank_off[:-1][multi][:, None] + within)[valid]
             rank_flat[flat_idx] = new_locs[valid]
+        preds = np.asarray(preds_dev)
 
         # -- phase D: vectorized rank assembly + per-job merge -------------
         # per (group, pred position): which pair it selects (row-major order
