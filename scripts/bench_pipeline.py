@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--fast_ssp", type=int, default=1)
     ap.add_argument("--profile_plan", action="store_true",
                     help="also print a per-slice plan-phase breakdown")
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="run the FULLY sharded pipeline over an N-device "
+                    "mesh (all plan phases GSPMD + shard_map beam); on one "
+                    "host use XLA_FLAGS=--xla_force_host_platform_device_"
+                    "count=N JAX_PLATFORMS=cpu for a virtual mesh")
     args = ap.parse_args()
 
     import jax
@@ -100,9 +105,13 @@ def main():
     ssp_params = init_ssp_params(jax.random.PRNGKey(1), ssp_cfg)
     kcfg = SinkhornConfig(n=10, n_iters=20, tau=0.1)
     kparams = init_sinkhorn_params(jax.random.PRNGKey(2), kcfg)
+    mesh = None
+    if args.data_parallel:
+        from vsrcic_tpu.parallel import make_mesh
+        mesh = make_mesh(n_data=args.data_parallel)
     pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg,
                         eos_word=3, beam_size=args.beam,
-                        fast_ssp=bool(args.fast_ssp))
+                        fast_ssp=bool(args.fast_ssp), mesh=mesh)
 
     jobs = make_jobs(n_jobs, D=2048)  # sinkhorn input dims are fixed (2352)
     if D != 2048:
@@ -127,8 +136,15 @@ def main():
                                              sink_feats=sink_feats)
         jax.block_until_ready(recons)
         t1 = time.perf_counter()
-        res = pipe.captioner.beam_search_v(
-            dets_dev, recons, vls, eos_word=3, beam_size=args.beam)
+        if mesh is not None:
+            from vsrcic_tpu.parallel.sharded import sharded_beam_search_v
+            res = sharded_beam_search_v(
+                pipe.captioner, mesh, dets_dev, recons,
+                jnp.asarray(vls).astype(jnp.int32), eos_word=3,
+                beam_size=args.beam)
+        else:
+            res = pipe.captioner.beam_search_v(
+                dets_dev, recons, vls, eos_word=3, beam_size=args.beam)
         np.asarray(res.words)
         t2 = time.perf_counter()
         return t1 - t0, t2 - t0
