@@ -36,18 +36,18 @@ def test_greedy_agrees_with_hungarian_on_near_hard():
         list(np.asarray(greedy_assign_device(jnp.asarray(p))))
 
 
-def test_pallas_sinkhorn_matches_jnp():
+def test_sinkhorn_normalize_doubly_stochastic():
+    """The batched XLA normalization (the production path — the per-matrix
+    Pallas kernel lost its on-chip A/B and was removed, see
+    models/sinkhorn.py docstring) converges to ~doubly stochastic."""
     from vsrcic_tpu.models.sinkhorn import sinkhorn_normalize
-    from vsrcic_tpu.ops.sinkhorn_kernel import sinkhorn_normalize_pallas
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(4, 10, 10).astype(np.float32))
-    ref = sinkhorn_normalize(x, 20, 0.1)
-    try:
-        out = sinkhorn_normalize_pallas(x, 20, 0.1)
-    except Exception as e:  # pallas TPU lowering not available on CPU tests
-        pytest.skip("pallas unavailable on this backend: %r" % (e,))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-6)
+    out = np.asarray(sinkhorn_normalize(x, 20, 0.1))
+    # the loop ends on a row normalization -> row sums exact; columns are
+    # still converging at tau=0.1 / 20 iters (reference settings)
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(out.sum(-2), 1.0, atol=0.2)
 
 
 def test_prefetch_loader_order_and_errors():

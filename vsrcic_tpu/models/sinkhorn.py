@@ -10,9 +10,12 @@ concatenates (vis 2048, txt 300, pos 4) — so the "txt" branch actually sees
 the first 300 visual dims. We replicate the slicing (offsets), not the names,
 because the released checkpoints were trained this way.
 
-The normalization loop runs on device via `lax.fori_loop`; a fused Pallas
-kernel (`vsrcic_tpu.ops.sinkhorn_kernel`) provides the TPU hot path, with
-this jnp version as the reference/CPU fallback.
+The normalization loop runs on device via `lax.fori_loop` over the WHOLE
+(B, N, N) batch — a fused per-matrix Pallas kernel was built and A/B'd on
+the chip and LOST (3.4 ms vs 0.9 ms at batch 1024: (1, 10, 10) blocks pad
+to full lanes and serialize 1024 grid steps while XLA vectorizes the batch
+per iteration), so it was removed; decision record in
+docs/ENGINEERING_NOTES.md, scripts/ab_sinkhorn.py reproduces the A/B.
 """
 from __future__ import annotations
 
@@ -65,7 +68,7 @@ def sinkhorn_normalize(x, n_iters: int, tau: float):
     return jax.lax.fori_loop(0, n_iters, body, x)
 
 
-def sinkhorn_net_apply(params, cfg: SinkhornConfig, seq, use_pallas: bool = False):
+def sinkhorn_net_apply(params, cfg: SinkhornConfig, seq):
     """seq: (B, N, 2352) -> soft permutation (B, N, N)."""
     x_txt = seq[:, :, :300]
     x_vis = seq[:, :, 300:2348]
@@ -76,7 +79,4 @@ def sinkhorn_net_apply(params, cfg: SinkhornConfig, seq, use_pallas: bool = Fals
     x = jnp.concatenate([x_txt, x_vis, x_pos], axis=-1)
     x = jax.nn.relu(nn.linear(params["W_fc_pos"], x))
     x = jnp.tanh(nn.linear(params["W_fc"], x))
-    if use_pallas:
-        from vsrcic_tpu.ops.sinkhorn_kernel import sinkhorn_normalize_pallas
-        return sinkhorn_normalize_pallas(x, cfg.n_iters, cfg.tau)
     return sinkhorn_normalize(x, cfg.n_iters, cfg.tau)
