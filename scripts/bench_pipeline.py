@@ -126,7 +126,7 @@ def main():
     # tunnel (~30 MB/s) would otherwise dominate and measure the tunnel,
     # not the pipeline (see docs/ENGINEERING_NOTES.md)
     import jax.numpy as jnp
-    seqs_all_dev = jnp.asarray(np.stack([j.seqs_all for j in jobs]))
+    seqs_all_dev = pipe.stage_seqs_all(jobs)
     sink_feats = pipe.stage_job_feats(jobs)
     dets_dev = jnp.asarray(dets)
 
@@ -173,7 +173,8 @@ def main():
         rank_idx, rank_valid, _ = pipe.plan_rank_batch(
             jobs, sink_feats=sink_feats)
         t("recons_ms", lambda: jax.block_until_ready(pipe._build_recons(
-            seqs_all_dev, jnp.asarray(rank_idx), jnp.asarray(rank_valid))))
+            seqs_all_dev[0], jnp.asarray(rank_idx), jnp.asarray(rank_valid),
+            seqs_all_dev[1])))
         print(json.dumps({"plan_breakdown": sl, "groups": len(ga.verbs)}))
 
     t_plan = t_total = 0.0

@@ -110,8 +110,9 @@ class EvalPipeline:
         if getattr(captioner, "use_fused_attention", False):
             from vsrcic_tpu.ops.fused_attention import fused_m_pad
             self._recons_m_pad = fused_m_pad
-        def build_recons(seqs_all, rank_idx, rank_valid):
-            out = self._build_recons_impl(seqs_all, rank_idx, rank_valid)
+        def build_recons(seqs_all, rank_idx, rank_valid, row_sums):
+            out = self._build_recons_impl(seqs_all, rank_idx, rank_valid,
+                                          row_sums)
             if self._recons_dtype is not None:
                 out = out.astype(self._recons_dtype)
             if self._recons_m_pad is not None:
@@ -142,7 +143,7 @@ class EvalPipeline:
         else:
             self._build_recons = self._pad_sharded(jax.jit(
                 build_recons,
-                in_shardings=(data, data, data), out_shardings=data))
+                in_shardings=(data, data, data, data), out_shardings=data))
             # the sink-row gather reads arbitrary jobs' features, so the
             # (P, L, F) feature tables are REPLICATED and only the pair
             # axis (owner/locs/valid and the (S, n, n) output) is sharded —
@@ -423,6 +424,27 @@ class EvalPipeline:
             verb_lists[p] = vl
         return rank_idx, rank_valid, verb_lists
 
+    def stage_seqs_all(self, jobs: Sequence[CaptionJob]):
+        """Device-stage the (P, L, M, D) group-feature tensor for the recons
+        build: f32 row sums are taken FIRST (exact liveness), then the
+        tensor is stored in the recons dtype (bf16 on the fast path —
+        halves the recons gather's HBM traffic; gather and cast commute so
+        values are identical). Returns (seqs_all_dev, row_sums_dev)."""
+        arr = jnp.asarray(np.stack([j.seqs_all for j in jobs]))
+        row_sums = jnp.sum(arr, (2, 3))
+        if self._recons_dtype is not None:
+            arr = arr.astype(self._recons_dtype)
+        # no explicit sharding here: the job axis may not divide the mesh —
+        # the padded sharded jit (_pad_sharded) places its padded inputs
+        return arr, row_sums
+
+    @staticmethod
+    def _as_staged(seqs_all):
+        """Accept stage_seqs_all's (arr, row_sums) or a raw device array."""
+        if isinstance(seqs_all, tuple):
+            return seqs_all
+        return seqs_all, jnp.sum(seqs_all, (2, 3)).astype(jnp.float32)
+
     def plan_batch(self, jobs: Sequence[CaptionJob]
                    ) -> Tuple[np.ndarray, np.ndarray]:
         """All jobs -> (recons (P, L, M, D), verb_lists (P, L)).
@@ -435,25 +457,27 @@ class EvalPipeline:
         host or re-shipping it per batch.
         """
         rank_idx, rank_valid, verb_lists = self.plan_rank_batch(jobs)
-        seqs_all = jnp.asarray(np.stack([j.seqs_all for j in jobs]))
-        recons = self._build_recons(seqs_all, jnp.asarray(rank_idx),
-                                    jnp.asarray(rank_valid))
+        arr, row_sums = self.stage_seqs_all(jobs)
+        recons = self._build_recons(arr, jnp.asarray(rank_idx),
+                                    jnp.asarray(rank_valid), row_sums)
         return np.asarray(recons), verb_lists
 
     def plan_batch_device(self, jobs, seqs_all=None, sink_feats=None):
         """plan_rank_batch + device recons, keeping everything on device.
-        seqs_all: pre-staged (P, L, M, D) device array (staged here if None).
-        Returns (recons device array, verb_lists host array)."""
+        seqs_all: pre-staged stage_seqs_all output (or a raw (P, L, M, D)
+        device array; staged here if None). Returns (recons device array,
+        verb_lists host array)."""
         rank_idx, rank_valid, verb_lists = self.plan_rank_batch(
             jobs, sink_feats=sink_feats)
         if seqs_all is None:
-            seqs_all = jnp.asarray(np.stack([j.seqs_all for j in jobs]))
-        recons = self._build_recons(seqs_all, jnp.asarray(rank_idx),
-                                    jnp.asarray(rank_valid))
+            seqs_all = self.stage_seqs_all(jobs)
+        arr, row_sums = self._as_staged(seqs_all)
+        recons = self._build_recons(arr, jnp.asarray(rank_idx),
+                                    jnp.asarray(rank_valid), row_sums)
         return recons, verb_lists
 
     @staticmethod
-    def _build_recons_impl(seqs_all, rank_idx, rank_valid):
+    def _build_recons_impl(seqs_all, rank_idx, rank_valid, row_sums=None):
         """Device recons: gather rows by rank, drop all-zero rows compacting
         to the front (stable), fill the tail with the last non-zero row —
         semantics of ref eval_coco.py:229-237.
@@ -462,9 +486,13 @@ class EvalPipeline:
         from per-row feature sums, stable compaction, tail fill, then a
         single composed index), so the big (P, L, M, D) tensor is touched by
         exactly ONE gather — the naive form (gather, zero, re-gather twice)
-        moves it through HBM three times."""
+        moves it through HBM three times. `row_sums` (P, L) may be
+        precomputed in f32 at staging time (stage_seqs_all), which lets the
+        big tensor be STORED bf16 (gather and cast commute; liveness stays
+        exact f32)."""
         P, L = rank_idx.shape
-        row_sums = jnp.sum(seqs_all, (2, 3))                      # (P, L)
+        if row_sums is None:
+            row_sums = jnp.sum(seqs_all, (2, 3))                  # (P, L)
         g_sums = jnp.take_along_axis(row_sums, rank_idx, 1)
         nz = jnp.where(rank_valid, g_sums != 0, False)            # live rows
         order = jnp.argsort(jnp.logical_not(nz), axis=1,
