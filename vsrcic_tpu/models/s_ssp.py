@@ -152,6 +152,12 @@ def _generate_loop(cfg: SSPConfig, det_sr, mode, logp_step, extra0):
     constrained = mode != "normal"
 
     if constrained:
+        # NB: fixed-length scan, deliberately. An all-rows-exhausted
+        # early-exit while_loop is output-identical (inactive steps write
+        # it=0 / lps=0.0 — the init values) and was tried; on TPU it
+        # measured ~10 MINUTES of XLA compile for this KV-cached body vs
+        # seconds for the scan, for a few ms/batch of steady-state win
+        # (decision record: docs/ENGINEERING_NOTES.md round-3 ledger).
         def body(carry, t):
             x_buf, remain, pred, lps, extra = carry
             active = jnp.sum(remain, 1) > 0                          # (B,)
