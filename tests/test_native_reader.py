@@ -119,3 +119,31 @@ def test_preprocess_batch_missing_id_falls_back(tmp_path):
     assert out[1][0].shape == (8, 2048)
     f_ref, _ = field.preprocess(paths[0])
     np.testing.assert_array_equal(out[0][0], f_ref)
+
+
+def test_dictionary_dataset_batched_key_ingest(tmp_path):
+    """DictionaryDataset.get_batch routes the key field (detections in the
+    eval pipelines) through preprocess_batch; items equal __getitem__."""
+    from vsrcic_tpu.data import (DataLoader, DictionaryDataset,
+                                 ImageDetectionsField, RawField)
+    from vsrcic_tpu.data.dataset import Example
+
+    store = _packed_world(tmp_path)
+    field = ImageDetectionsField(store, max_detections=8)
+    examples = []
+    for i in range(1, 6):
+        p = "imgs/COCO_train2014_%012d.jpg" % i
+        for c in range(2):   # two captions per image
+            examples.append(Example.fromdict(
+                {"image": p, "text": "cap %d %d" % (i, c)}))
+    ds = DictionaryDataset(examples, {"image": field, "text": RawField()},
+                           "image")
+    items_batched = ds.get_batch(list(range(len(ds))))
+    for i, (kv, vals) in enumerate(items_batched):
+        kv_ref, vals_ref = ds[i]
+        np.testing.assert_array_equal(kv[0], kv_ref[0])
+        assert kv[1] == kv_ref[1]
+        assert vals == vals_ref
+    loader = DataLoader(ds, batch_size=3)
+    batches = list(loader)
+    assert sum(len(k[0]) for k, _ in batches) == len(ds)
