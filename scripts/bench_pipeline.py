@@ -70,8 +70,15 @@ def main():
                     help="run the FULLY sharded pipeline over an N-device "
                     "mesh (all plan phases GSPMD + shard_map beam); on one "
                     "host use XLA_FLAGS=--xla_force_host_platform_device_"
-                    "count=N JAX_PLATFORMS=cpu for a virtual mesh")
+                    "count=N --platform cpu for a virtual mesh")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (the JAX_PLATFORMS env var "
+                    "is ignored when sitecustomize preloads a plugin)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax as _jax
+        _jax.config.update("jax_platforms", args.platform)
 
     import jax
     import jax.numpy as jnp
