@@ -23,7 +23,10 @@ BOS, EOS = 2, 3
 VERB_TABLE = {"1": [5, 9, 11], "2": [7], "3": []}
 
 
-def test_kernel_interpret_matches_xla_reference():
+@pytest.mark.parametrize("two_stage", [False, True])
+def test_kernel_interpret_matches_xla_reference(two_stage):
+    # NB with tile_v=128 / v=300 and two_stage, each lane position sees only
+    # 3 candidates (< k=5), so the sentinel register slots are exercised
     rng = np.random.RandomState(0)
     rows, r, v, k = 16, 24, 300, 5
     h2 = jnp.asarray(rng.randn(rows, r).astype(np.float32))
@@ -32,8 +35,32 @@ def test_kernel_interpret_matches_xla_reference():
     # duplicate columns -> value ties; lowest vocab id must win (lax.top_k)
     w_t = w_t.at[:, 10].set(w_t[:, 3])
     b = b.at[10].set(b[3])
+    # a same-lane-position tie 128 columns apart (two-stage strict-> path)
+    w_t = w_t.at[:, 170].set(w_t[:, 42])
+    b = b.at[170].set(b[42])
     v1, i1, l1 = vocab_topk_lse_xla(h2, w_t, b, k)
-    fn = make_vocab_topk_lse(rows, r, v, k, tile_v=128, interpret=True)
+    fn = make_vocab_topk_lse(rows, r, v, k, tile_v=128, interpret=True,
+                             two_stage=two_stage)
+    v2, i2, l2 = fn(h2, w_t, b)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+
+
+def test_kernel_two_stage_multi_chunk_matches_xla_reference():
+    """tile_v=256 -> 2 chunks per tile: the in-tile chunk insert order and
+    cross-chunk id monotonicity matter."""
+    rng = np.random.RandomState(5)
+    rows, r, v, k = 8, 16, 700, 5
+    h2 = jnp.asarray(rng.randn(rows, r).astype(np.float32))
+    w_t = jnp.asarray(rng.randn(r, v).astype(np.float32))
+    b = jnp.asarray(rng.randn(v).astype(np.float32))
+    for a, c in ((3, 3 + 128), (40, 40 + 256), (512, 512 + 128)):
+        w_t = w_t.at[:, c].set(w_t[:, a])
+        b = b.at[c].set(b[a])
+    v1, i1, l1 = vocab_topk_lse_xla(h2, w_t, b, k)
+    fn = make_vocab_topk_lse(rows, r, v, k, tile_v=256, interpret=True,
+                             two_stage=True)
     v2, i2, l2 = fn(h2, w_t, b)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
@@ -127,7 +154,8 @@ def test_candidate_beam_matches_reference_torch():
     np.testing.assert_array_equal(np.asarray(rc.gates), outs_t[1].numpy())
 
 
-def test_kernel_row_blocking_matches():
+@pytest.mark.parametrize("two_stage", [False, True])
+def test_kernel_row_blocking_matches(two_stage):
     """Multi-row-block grid (large batches exceed the 16MB scoped VMEM with
     a single block) must equal the reference."""
     rng = np.random.RandomState(2)
@@ -137,7 +165,7 @@ def test_kernel_row_blocking_matches():
     b = jnp.asarray(rng.randn(v).astype(np.float32))
     v1, i1, l1 = vocab_topk_lse_xla(h2, w_t, b, k)
     fn = make_vocab_topk_lse(rows, r, v, k, tile_v=128, tile_rows=8,
-                             interpret=True)
+                             interpret=True, two_stage=two_stage)
     v2, i2, l2 = fn(h2, w_t, b)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)

@@ -172,12 +172,22 @@ class ControllableCaptioner:
             return lambda h2, w_t, b: vocab_topk_lse_xla(h2, w_t, b, k)
         import os
         tile_v = int(os.environ.get("VSRCIC_VOCAB_TILE", "1024"))
-        tile_rows = int(os.environ.get("VSRCIC_VOCAB_TILE_ROWS", "1280"))
+        # two-stage merge needs (rows_blk, k*128) x2 running scratch plus the
+        # per-chunk register temporaries, so its default row block drops to
+        # 320 to stay inside the 16 MB scoped-VMEM limit (640 compiles to a
+        # 17.9 MB stack and is rejected by the TPU compiler)
+        # default on: the interleaved on-chip A/B (scripts/ab_vocab_e2e.py)
+        # has two-stage@320 at 176.1 ms/decode vs streaming@1280 at 178.3,
+        # token-exact, ordering stable across every interleaved round
+        two_stage = bool(int(os.environ.get("VSRCIC_VOCAB_TWO_STAGE", "1")))
+        tile_rows = int(os.environ.get("VSRCIC_VOCAB_TILE_ROWS",
+                                       "320" if two_stage else "1280"))
         return get_vocab_topk(
             rows, self.cfg.rnn_size, self.cfg.vocab_size, k,
             tile_v=tile_v, tile_rows=tile_rows,
             interpret=self.pallas_interpret,
-            table_dtype=self.table_dtype or jnp.float32)
+            table_dtype=self.table_dtype or jnp.float32,
+            two_stage=two_stage)
 
     def _vocab_tables(self, vocab_fn):
         """out_fc weights transposed (+padded/cast for the Pallas kernel),

@@ -47,7 +47,8 @@ def _round_up(x, m):
 def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
                         tile_v: int = 1024, tile_rows: int = 1280,
                         interpret: bool = False,
-                        table_dtype=jnp.float32):
+                        table_dtype=jnp.float32,
+                        two_stage: bool = False):
     """Build the streaming kernel for static shapes.
 
     Returns fn(h2 (rows, R), w_t (R, V), bias (V,)) ->
@@ -56,6 +57,19 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
     fn.prepare_tables). Rows are processed in blocks of `tile_rows`
     (bounds the VMEM working set; weight tiles are re-streamed per row
     block).
+
+    two_stage=True swaps the per-tile merge strategy: instead of k
+    extract-max passes over [tile ; running-top-k] (cross-lane reductions
+    every tile), the kernel maintains a per-LANE-POSITION sorted top-k
+    (scratch (rows, k*128)) updated by unrolled compare-exchange inserts
+    per 128-lane chunk — pure elementwise VPU ops — and runs the k
+    cross-lane extraction passes only once, on the last tile, over the
+    k*128 surviving candidates. Exact: a candidate excluded from its lane
+    position's top-k is dominated there by >=k candidates under the
+    (value desc, id asc) order, so it cannot be in the global top-k under
+    the same order. Within a lane, ids arrive strictly increasing
+    (tile-major, chunk-minor), so a strict `>` compare implements the
+    lowest-id-wins tie rule without materializing id comparisons.
     """
     from jax.experimental import pallas as pl
 
@@ -70,6 +84,33 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
     rows_blk = tile_rows
     k_pad = _round_up(k, 128)  # output lane dim
     NEG = -1e30  # python scalar (a jnp constant would be a captured tracer)
+    if two_stage and tile_v % 128:
+        raise ValueError("two_stage requires tile_v % 128 == 0, got %d"
+                         % tile_v)
+    n_chunks = tile_v // 128 if two_stage else 0
+
+    def _extract_topk(cand_vals, cand_ids):
+        """k extract-max passes, lowest-vocab-id tie-break (lax.top_k)."""
+        new_vals = []
+        new_ids = []
+        for _ in range(k):
+            mx = jnp.max(cand_vals, axis=-1, keepdims=True)      # (rows, 1)
+            sel = jnp.min(jnp.where(cand_vals >= mx, cand_ids,
+                                    v_pad + v), axis=-1,
+                          keepdims=True)                          # (rows, 1)
+            new_vals.append(mx)
+            new_ids.append(sel)
+            cand_vals = jnp.where(cand_ids == sel, NEG, cand_vals)
+        return new_vals, new_ids
+
+    def _fill_out(new_vals, new_ids):
+        # full-lane writes (k..k_pad filled with sentinels)
+        fill = k_pad - k
+        vals = jnp.concatenate(
+            new_vals + [jnp.full((rows_blk, fill), NEG, jnp.float32)], axis=1)
+        ids = jnp.concatenate(
+            new_ids + [jnp.full((rows_blk, fill), v, jnp.int32)], axis=1)
+        return vals, ids
 
     def kernel(h2_ref, w_ref, b_ref, vals_ref, ids_ref, lse_ref,
                run_vals, run_ids, run_m, run_s):
@@ -104,22 +145,8 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
                     + i * tile_v)
         cand_vals = jnp.concatenate([logits, run_vals[:]], axis=1)
         cand_ids = jnp.concatenate([tile_ids, run_ids[:]], axis=1)
-        new_vals = []
-        new_ids = []
-        for _ in range(k):
-            mx = jnp.max(cand_vals, axis=-1, keepdims=True)      # (rows, 1)
-            sel = jnp.min(jnp.where(cand_vals >= mx, cand_ids,
-                                    v_pad + v), axis=-1,
-                          keepdims=True)                          # (rows, 1)
-            new_vals.append(mx)
-            new_ids.append(sel)
-            cand_vals = jnp.where(cand_ids == sel, NEG, cand_vals)
-        # full-lane writes (k..k_pad filled with sentinels)
-        fill = k_pad - k
-        run_vals[:] = jnp.concatenate(
-            new_vals + [jnp.full((rows_blk, fill), NEG, jnp.float32)], axis=1)
-        run_ids[:] = jnp.concatenate(
-            new_ids + [jnp.full((rows_blk, fill), v, jnp.int32)], axis=1)
+        new_vals, new_ids = _extract_topk(cand_vals, cand_ids)
+        run_vals[:], run_ids[:] = _fill_out(new_vals, new_ids)
 
         @pl.when(i == n_tiles - 1)
         def _():
@@ -127,10 +154,65 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
             ids_ref[:] = run_ids[:]
             lse_ref[:] = run_m[:] + jnp.log(run_s[:])
 
+    def kernel2(h2_ref, w_ref, b_ref, vals_ref, ids_ref, lse_ref,
+                run_vals, run_ids, run_m, run_s):
+        """Two-stage merge: per-lane-position sorted top-k registers
+        (run_vals/run_ids hold k contiguous 128-lane groups, group j =
+        rank-j value at each lane position), cross-lane extraction only on
+        the final tile."""
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            run_vals[:] = jnp.full_like(run_vals, NEG)
+            run_ids[:] = jnp.full_like(run_ids, v)
+            run_m[:] = jnp.full_like(run_m, NEG)
+            run_s[:] = jnp.zeros_like(run_s)
+
+        logits = jnp.dot(h2_ref[:], w_ref[:],
+                         preferred_element_type=jnp.float32) + b_ref[0, :]
+
+        tile_max = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(run_m[:], tile_max)
+        run_s[:] = (run_s[:] * jnp.exp(run_m[:] - m_new)
+                    + jnp.sum(jnp.exp(logits - m_new), axis=-1,
+                              keepdims=True))
+        run_m[:] = m_new
+
+        regs_v = [run_vals[:, j * 128:(j + 1) * 128] for j in range(k)]
+        regs_i = [run_ids[:, j * 128:(j + 1) * 128] for j in range(k)]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows_blk, 128), 1)
+        for c in range(n_chunks):
+            x = logits[:, c * 128:(c + 1) * 128]
+            xid = lane + (i * tile_v + c * 128)
+            # bubble-insert x into the descending-sorted registers; ids
+            # strictly increase over insertion order, so strict > keeps
+            # the earlier (lower-id) of equal values ranked higher
+            for j in range(k):
+                swap = x > regs_v[j]
+                nv = jnp.where(swap, x, regs_v[j])
+                ni = jnp.where(swap, xid, regs_i[j])
+                x = jnp.where(swap, regs_v[j], x)
+                xid = jnp.where(swap, regs_i[j], xid)
+                regs_v[j] = nv
+                regs_i[j] = ni
+        run_vals[:] = jnp.concatenate(regs_v, axis=1)
+        run_ids[:] = jnp.concatenate(regs_i, axis=1)
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            # cross-lane global top-k over the k*128 survivors; ids are
+            # unique across lanes, so the id-mask clears one candidate
+            # per pass (sentinels only win when < k real candidates exist)
+            new_vals, new_ids = _extract_topk(run_vals[:], run_ids[:])
+            vals_ref[:], ids_ref[:] = _fill_out(new_vals, new_ids)
+            lse_ref[:] = run_m[:] + jnp.log(run_s[:])
+
     from jax.experimental.pallas import tpu as pltpu
 
+    run_lanes = k * 128 if two_stage else k_pad
     call = pl.pallas_call(
-        kernel,
+        kernel2 if two_stage else kernel,
         grid=(n_row_blocks, n_tiles),
         in_specs=[
             pl.BlockSpec((rows_blk, r_pad), lambda b, i: (b, 0)),    # h2
@@ -148,8 +230,8 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows_blk, k_pad), jnp.float32),
-            pltpu.VMEM((rows_blk, k_pad), jnp.int32),
+            pltpu.VMEM((rows_blk, run_lanes), jnp.float32),
+            pltpu.VMEM((rows_blk, run_lanes), jnp.int32),
             pltpu.VMEM((rows_blk, 1), jnp.float32),
             pltpu.VMEM((rows_blk, 1), jnp.float32),
         ],
@@ -183,13 +265,15 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
 
 @functools.lru_cache(maxsize=32)
 def _cached_kernel(rows, r, v, k, tile_v, tile_rows, interpret,
-                   table_dtype_name):
+                   table_dtype_name, two_stage):
     return make_vocab_topk_lse(rows, r, v, k, tile_v=tile_v,
                                tile_rows=tile_rows, interpret=interpret,
-                               table_dtype=jnp.dtype(table_dtype_name))
+                               table_dtype=jnp.dtype(table_dtype_name),
+                               two_stage=two_stage)
 
 
 def get_vocab_topk(rows, r, v, k, tile_v=1024, tile_rows=1280,
-                   interpret=False, table_dtype=jnp.float32):
+                   interpret=False, table_dtype=jnp.float32,
+                   two_stage=False):
     return _cached_kernel(rows, r, v, k, tile_v, tile_rows, interpret,
-                          np.dtype(table_dtype).name)
+                          np.dtype(table_dtype).name, two_stage)
