@@ -39,11 +39,11 @@ def main():
     variants = [
         ("stream", {"VSRCIC_VOCAB_TWO_STAGE": "0"}),
         # tile_rows 640 two-stage compiles to a 17.9 MB VMEM stack (>16 MB
-        # scoped limit) and is rejected; 320 is the largest working block
+        # scoped limit) and is rejected; 512 is the largest working block
+        ("2stage_r512", {"VSRCIC_VOCAB_TWO_STAGE": "1",
+                         "VSRCIC_VOCAB_TILE_ROWS": "512"}),
         ("2stage_r320", {"VSRCIC_VOCAB_TWO_STAGE": "1",
                          "VSRCIC_VOCAB_TILE_ROWS": "320"}),
-        ("2stage_r160", {"VSRCIC_VOCAB_TWO_STAGE": "1",
-                         "VSRCIC_VOCAB_TILE_ROWS": "160"}),
     ]
     runners = []
     ref_words = None

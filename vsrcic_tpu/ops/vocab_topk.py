@@ -196,8 +196,12 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
                 xid = jnp.where(swap, regs_i[j], xid)
                 regs_v[j] = nv
                 regs_i[j] = ni
-        run_vals[:] = jnp.concatenate(regs_v, axis=1)
-        run_ids[:] = jnp.concatenate(regs_i, axis=1)
+        # per-group slice stores: a concatenate would materialize a second
+        # (rows, k*128) temporary on the VMEM stack (lets tile_rows 512
+        # compile; 640 still exceeds the 16 MB scope by ~1.9 MB either way)
+        for j in range(k):
+            run_vals[:, j * 128:(j + 1) * 128] = regs_v[j]
+            run_ids[:, j * 128:(j + 1) * 128] = regs_i[j]
 
         @pl.when(i == n_tiles - 1)
         def _():
