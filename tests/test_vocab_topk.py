@@ -170,3 +170,30 @@ def test_kernel_row_blocking_matches(two_stage):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+
+
+def test_vocab_tables_prepared_once_and_keyed_by_pad_shape(monkeypatch):
+    """The facade must hand the kernel PREPARED (padded/cast) tables — not
+    rely on the kernel wrapper's in-jit auto-pad fallback — and must
+    re-prepare when the tile env vars change the padded vocab width."""
+    cap = ControllableCaptioner(
+        CaptionerConfig(seq_len=6, vocab_size=300, bos_idx=BOS,
+                        det_feat_size=D, input_encoding_size=E,
+                        rnn_size=R, att_size=A),
+        key=jax.random.PRNGKey(0), verb_2_vob_all=VERB_TABLE,
+        use_vocab_topk=True, pallas_interpret=True)
+    # vocab 300: tile 128 -> v_pad 384, tile 256 -> v_pad 512 (distinct keys)
+    rows = B * 3
+    monkeypatch.setenv("VSRCIC_VOCAB_TILE", "128")
+    fn = cap._vocab_topk_fn(rows, 5)
+    w_p, b_p = cap._vocab_tables(fn)
+    assert w_p.shape == (fn.r_pad, fn.v_pad)       # prepared, not raw (R, V)
+    assert b_p.shape == (1, fn.v_pad)
+    assert cap._vocab_tables(fn) is not (None,)    # cached path
+    assert cap._vocab_tables_cache[0] == ("pallas", fn.v_pad)
+
+    monkeypatch.setenv("VSRCIC_VOCAB_TILE", "256")
+    fn2 = cap._vocab_topk_fn(rows, 5)
+    assert fn2.v_pad != fn.v_pad
+    w_p2, _ = cap._vocab_tables(fn2)
+    assert w_p2.shape == (fn2.r_pad, fn2.v_pad)    # re-prepared on key change

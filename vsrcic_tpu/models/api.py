@@ -200,7 +200,7 @@ class ControllableCaptioner:
         if getattr(self, "_vocab_tables_cache", (None, None))[0] != kind:
             w_t = self.decode_params["out_fc"]["weight"].T
             bias = self.decode_params["out_fc"]["bias"]
-            if kind == "pallas":
+            if kind[0] == "pallas":
                 tables = vocab_fn.prepare_tables(w_t, bias)
             else:
                 tables = (w_t, bias)
