@@ -3,6 +3,13 @@
 Times the bare kernel at the bench shape (rows=5120, r=1000, v=10000, k=5,
 bf16 tables) across tile configs for both merge strategies, plus the XLA
 dense reference. Run on the TPU chip.
+
+CAVEAT (axon tunnel): `block_until_ready` returns at dispatch-complete for
+small standalone programs, so these loop timings can be dispatch-bound and
+read far below device time (a 0.1 ms "dense XLA" for a >=0.7 ms HBM-bound
+op was observed). Treat relative orderings with suspicion and confirm any
+decision with scripts/ab_vocab_e2e.py (full-size interleaved decodes), or
+chain iterations through a carried scalar. docs/ENGINEERING_NOTES.md.
 """
 import sys
 import time
