@@ -33,7 +33,10 @@ def main():
                           att_size=512 if on_tpu else 8)
     params = init_captioner_params(jax.random.PRNGKey(0), cfg)
 
-    for B in ((100, 256, 512) if on_tpu else (4,)):
+    import os
+    batches = tuple(int(x) for x in os.environ.get(
+        "VSRCIC_XE_BATCHES", "100,256,512").split(","))
+    for B in (batches if on_tpu else (4,)):
         tr = CaptionerXETrainer(cfg, params, lr=5e-4)
         rng = np.random.RandomState(0)
         dets = jnp.asarray(rng.rand(B, 100, D).astype(np.float32))
