@@ -107,7 +107,15 @@ class ControllableCaptioner:
             from vsrcic_tpu.ops.fused_attention import \
                 make_fused_group_attention
             rows = b * beam
-            rpb = next(r for r in (8, 4, 2, 1) if rows % r == 0)
+            import os
+            # block rows: more rows/block = more DMAs in flight (the kernel
+            # issues every row's copy up front) + fewer grid steps; VMEM
+            # scratch grows as rows_per_block * m_pad * (D + A). On-chip
+            # sweep (scripts/ab_fused_rpb.py): 8=6060, 16=6289, **32=6385**,
+            # 48=6064, 64=6196 caps/s — 32 is the knee before VMEM pressure
+            pref = int(os.environ.get("VSRCIC_FUSED_RPB", "32"))
+            rpb = next(r for r in (pref, 32, 16, 8, 4, 2, 1)
+                       if rows % r == 0)
             self._fused_cache[key] = make_fused_group_attention(
                 b, l, m, d, self.cfg.att_size, rows=rows,
                 rows_per_block=rpb, interpret=self.pallas_interpret,
