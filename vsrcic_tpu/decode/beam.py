@@ -38,13 +38,26 @@ class BeamResult(NamedTuple):
 
 
 def _gather_beam(tree, sel, batch, beam):
-    """Reindex every (batch*beam, ...) leaf by per-item beam selection sel (B, K)."""
-    def g(x):
-        xk = x.reshape((batch, beam) + x.shape[1:])
-        selx = sel.reshape((batch, beam) + (1,) * (xk.ndim - 2))
-        out = jnp.take_along_axis(xk, selx.astype(jnp.int32), axis=1)
-        return out.reshape((batch * beam,) + x.shape[1:])
-    return jax.tree.map(g, tree)
+    """Reindex every (batch*beam, ...) leaf by per-item beam selection sel (B, K).
+
+    Default form: one flat row gather per leaf on the native (batch*beam, ...)
+    layout — profiling showed the reshape/take_along_axis form paying physical
+    layout copies ({2,0,1} transposes) around each per-leaf gather
+    (~0.45 ms/step at batch 1024 x beam 5). The flat global row index stays
+    shard-local under shard_map (each shard calls this on its local batch);
+    VSRCIC_BEAM_TAKE_ALONG=1 restores the take_along_axis form.
+    """
+    import os
+    if bool(int(os.environ.get("VSRCIC_BEAM_TAKE_ALONG", "0"))):
+        def g(x):
+            xk = x.reshape((batch, beam) + x.shape[1:])
+            selx = sel.reshape((batch, beam) + (1,) * (xk.ndim - 2))
+            out = jnp.take_along_axis(xk, selx.astype(jnp.int32), axis=1)
+            return out.reshape((batch * beam,) + x.shape[1:])
+        return jax.tree.map(g, tree)
+    rows = (jnp.arange(batch, dtype=jnp.int32)[:, None] * beam
+            + sel.astype(jnp.int32)).reshape(-1)        # (batch*beam,)
+    return jax.tree.map(lambda x: x[rows], tree)
 
 
 def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
