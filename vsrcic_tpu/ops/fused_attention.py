@@ -55,62 +55,79 @@ def make_fused_group_attention(b_items: int, l: int, m: int, d: int, a: int,
                fcsent_ref, atta_ref, det_hbm, proj_hbm,
                out_att_ref, out_gsum_ref, det_buf, proj_buf, sem_d, sem_p):
         i = pl.program_id(0)
-        base = i * rows_per_block
 
-        def dma(slot, j):
-            r = base + j
+        def dma(slot, blk, j):
+            r = blk * rows_per_block + j
             it = item_ref[r]
             ct = ctrl_ref[r]
-            cd = pltpu.make_async_copy(det_hbm.at[it, ct], det_buf.at[slot],
-                                       sem_d.at[slot])
-            cp = pltpu.make_async_copy(proj_hbm.at[it, ct], proj_buf.at[slot],
-                                       sem_p.at[slot])
+            cd = pltpu.make_async_copy(det_hbm.at[it, ct],
+                                       det_buf.at[slot, j],
+                                       sem_d.at[slot, j])
+            cp = pltpu.make_async_copy(proj_hbm.at[it, ct],
+                                       proj_buf.at[slot, j],
+                                       sem_p.at[slot, j])
             return cd, cp
 
-        # issue EVERY row's pair of copies before waiting on any: each row
-        # moves only ~120 KB, so with depth-1 double buffering the loop is
-        # DMA-LATENCY-bound (profiled 2.9 ms/step = ~25% of HBM peak for
-        # the 614 MB/step stream); one buffer slot per row keeps
-        # 2*rows_per_block copies in flight and amortizes the latency
-        def start(j, _):
-            cd, cp = dma(j, j)
-            cd.start()
-            cp.start()
-            return 0
+        # block-level double buffering: every row of a block gets its own
+        # buffer slot and all copies are issued before any wait (a single
+        # double-buffered row loop was DMA-LATENCY-bound at ~25% of HBM
+        # peak for the 614 MB/step stream); block i+1's copies are issued
+        # while block i computes, so up to 4*rows_per_block are in flight
+        def start_block(blk, slot):
+            def start(j, _):
+                cd, cp = dma(slot, blk, j)
+                cd.start()
+                cp.start()
+                return 0
+            jax.lax.fori_loop(0, rows_per_block, start, 0, unroll=True)
 
-        jax.lax.fori_loop(0, rows_per_block, start, 0, unroll=True)
+        slot = jax.lax.rem(i, 2)
 
-        def body(j, _):
-            cdj, cpj = dma(j, j)
+        @pl.when(i == 0)
+        def _():
+            start_block(i, slot)
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            start_block(i + 1, jax.lax.rem(i + 1, 2))
+
+        def wait(j, _):
+            cdj, cpj = dma(slot, i, j)
             cdj.wait()
             cpj.wait()
-
-            det = det_buf[j].astype(jnp.float32)      # (m_pad, D)
-            proj = proj_buf[j].astype(jnp.float32)     # (m_pad, A)
-            mask = (jnp.sum(det, axis=-1, keepdims=True) != 0
-                    ).astype(jnp.float32)           # (M, 1)
-            ha = ha_ref[j, :]                       # (A,)
-            det_w = jnp.sum(jnp.tanh(proj + ha[None, :]) * atta_ref[0, :][None, :],
-                            axis=-1, keepdims=True)  # (M, 1)
-            sent_w = sentw_ref[j, 0]
-            sent_mask = sentmask_ref[j, 0]
-
-            mx = jnp.maximum(jnp.max(det_w), sent_w)
-            e_det = jnp.exp(det_w - mx)              # (M, 1)
-            e_sent = jnp.exp(sent_w - mx)
-            att_det = e_det * mask
-            att_sent = e_sent * sent_mask
-            denom = jnp.sum(att_det) + att_sent
-            att_det = att_det / denom
-            att_sent = att_sent / denom
-
-            out = (jnp.sum(att_det * det, axis=0)
-                   + att_sent * fcsent_ref[j, :])    # (D,)
-            out_att_ref[pl.ds(j, 1), :] = out.reshape(1, d)
-            out_gsum_ref[pl.ds(j, 1), :] = jnp.sum(mask * det_w).reshape(1, 1)
             return 0
 
-        jax.lax.fori_loop(0, rows_per_block, body, 0)
+        jax.lax.fori_loop(0, rows_per_block, wait, 0, unroll=True)
+
+        # whole-block vectorized compute (the per-row form serialized
+        # rows_per_block tiny VPU ops behind the scalar loop)
+        det = det_buf[slot].astype(jnp.float32)       # (R, m_pad, D)
+        proj = proj_buf[slot].astype(jnp.float32)      # (R, m_pad, A)
+        mask = (jnp.sum(det, axis=-1, keepdims=True) != 0
+                ).astype(jnp.float32)                  # (R, M, 1)
+        ha = ha_ref[:]                                 # (R, A)
+        det_w = jnp.sum(jnp.tanh(proj + ha[:, None, :])
+                        * atta_ref[0, :][None, None, :],
+                        axis=-1, keepdims=True)        # (R, M, 1)
+        sent_w = sentw_ref[:]                          # (R, 1)
+        sent_mask = sentmask_ref[:]                    # (R, 1)
+
+        mx = jnp.maximum(jnp.max(det_w[:, :, 0], axis=-1, keepdims=True),
+                         sent_w)                       # (R, 1)
+        e_det = jnp.exp(det_w - mx[:, :, None])        # (R, M, 1)
+        e_sent = jnp.exp(sent_w - mx)                  # (R, 1)
+        att_det = e_det * mask
+        att_sent = e_sent * sent_mask                  # (R, 1)
+        denom = (jnp.sum(att_det[:, :, 0], axis=-1, keepdims=True)
+                 + att_sent)                           # (R, 1)
+        att_det = att_det / denom[:, :, None]
+        att_sent = att_sent / denom
+
+        out = (jnp.sum(att_det * det, axis=1)
+               + att_sent * fcsent_ref[:])             # (R, D)
+        out_att_ref[:] = out
+        out_gsum_ref[:] = jnp.sum((mask * det_w)[:, :, 0], axis=-1,
+                                  keepdims=True)       # (R, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -136,10 +153,10 @@ def make_fused_group_attention(b_items: int, l: int, m: int, d: int, a: int,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows_per_block, m_pad, d), table_dtype),
-            pltpu.VMEM((rows_per_block, m_pad, a), table_dtype),
-            pltpu.SemaphoreType.DMA((rows_per_block,)),
-            pltpu.SemaphoreType.DMA((rows_per_block,)),
+            pltpu.VMEM((2, rows_per_block, m_pad, d), table_dtype),
+            pltpu.VMEM((2, rows_per_block, m_pad, a), table_dtype),
+            pltpu.SemaphoreType.DMA((2, rows_per_block)),
+            pltpu.SemaphoreType.DMA((2, rows_per_block)),
         ],
     )
 
