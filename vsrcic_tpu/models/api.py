@@ -190,12 +190,17 @@ class ControllableCaptioner:
         two_stage = bool(int(os.environ.get("VSRCIC_VOCAB_TWO_STAGE", "1")))
         tile_rows = int(os.environ.get("VSRCIC_VOCAB_TILE_ROWS",
                                        "320" if two_stage else "1280"))
+        # lhs bf16 (VSRCIC_VOCAB_LHS_BF16=1): cast h2 outside the kernel so
+        # the dot is single-pass bf16 MXU; fast-path-only numerics change
+        # on top of the bf16 tables (A/B + fidelity in ENGINEERING_NOTES)
+        lhs_bf16 = bool(int(os.environ.get("VSRCIC_VOCAB_LHS_BF16", "0")))
         return get_vocab_topk(
             rows, self.cfg.rnn_size, self.cfg.vocab_size, k,
             tile_v=tile_v, tile_rows=tile_rows,
             interpret=self.pallas_interpret,
             table_dtype=self.table_dtype or jnp.float32,
-            two_stage=two_stage)
+            two_stage=two_stage,
+            lhs_dtype=jnp.bfloat16 if lhs_bf16 else jnp.float32)
 
     def _vocab_tables(self, vocab_fn):
         """out_fc weights transposed (+padded/cast for the Pallas kernel),

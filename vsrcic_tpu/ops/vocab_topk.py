@@ -48,7 +48,8 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
                         tile_v: int = 1024, tile_rows: int = 1280,
                         interpret: bool = False,
                         table_dtype=jnp.float32,
-                        two_stage: bool = False):
+                        two_stage: bool = False,
+                        lhs_dtype=jnp.float32):
     """Build the streaming kernel for static shapes.
 
     Returns fn(h2 (rows, R), w_t (R, V), bias (V,)) ->
@@ -123,10 +124,11 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
             run_m[:] = jnp.full_like(run_m, NEG)
             run_s[:] = jnp.zeros_like(run_s)
 
-        # NB: do NOT cast h2 to bf16 in-kernel — the extra (rows_blk, r_pad)
-        # temp pushes the scoped VMEM over 16 MB at rows>=10240 (batch 2048
-        # fails to compile), and the cast measured NEUTRAL end-to-end
-        # (4499 vs 4474 caps/s): the f32 x bf16 dot already runs fine
+        # NB: do NOT cast h2 to bf16 IN-KERNEL — the extra (rows_blk,
+        # r_pad) temp pushes the scoped VMEM over 16 MB at rows>=10240
+        # (batch 2048 fails to compile). lhs_dtype=bf16 instead casts the
+        # OPERAND outside the kernel (the h2 block arrives bf16), giving
+        # the single-pass MXU dot with no in-kernel temp.
         logits = jnp.dot(h2_ref[:], w_ref[:],
                          preferred_element_type=jnp.float32) + b_ref[0, :]
 
@@ -258,7 +260,7 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
             bias = bias.reshape(1, -1)
         if h2.shape[-1] != r_pad:
             h2 = jnp.pad(h2, ((0, 0), (0, r_pad - h2.shape[-1])))
-        vals, ids, lse = call(h2, w_t, bias)
+        vals, ids, lse = call(h2.astype(lhs_dtype), w_t, bias)
         return vals[:, :k], ids[:, :k], lse
 
     fn.prepare_tables = prepare_tables
@@ -269,15 +271,17 @@ def make_vocab_topk_lse(rows: int, r: int, v: int, k: int,
 
 @functools.lru_cache(maxsize=32)
 def _cached_kernel(rows, r, v, k, tile_v, tile_rows, interpret,
-                   table_dtype_name, two_stage):
+                   table_dtype_name, two_stage, lhs_dtype_name):
     return make_vocab_topk_lse(rows, r, v, k, tile_v=tile_v,
                                tile_rows=tile_rows, interpret=interpret,
                                table_dtype=jnp.dtype(table_dtype_name),
-                               two_stage=two_stage)
+                               two_stage=two_stage,
+                               lhs_dtype=jnp.dtype(lhs_dtype_name))
 
 
 def get_vocab_topk(rows, r, v, k, tile_v=1024, tile_rows=1280,
                    interpret=False, table_dtype=jnp.float32,
-                   two_stage=False):
+                   two_stage=False, lhs_dtype=jnp.float32):
     return _cached_kernel(rows, r, v, k, tile_v, tile_rows, interpret,
-                          np.dtype(table_dtype).name, two_stage)
+                          np.dtype(table_dtype).name, two_stage,
+                          np.dtype(lhs_dtype).name)
