@@ -2,6 +2,7 @@
 (interpret mode — compiled-TPU equality is covered by the on-device check
 recorded in docs/ENGINEERING_NOTES.md)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -26,7 +27,8 @@ def _xla_reference(det_groups, groups_proj, item, ctrl, ha, sent_w,
     return out, (mask * det_w).sum(1, keepdims=True)
 
 
-def test_fused_attention_matches_xla_math():
+@pytest.mark.parametrize("rpb", [2, ROWS])  # multi-block and single-block
+def test_fused_attention_matches_xla_math(rpb):
     rng = np.random.RandomState(0)
     det_groups = rng.rand(B, L, M, D).astype(np.float32)
     det_groups[:, :, 5:] = 0.0  # padded regions
@@ -43,7 +45,7 @@ def test_fused_attention_matches_xla_math():
         det_groups, groups_proj, item, ctrl, ha, sent_w, sent_mask, fc_sent,
         att_a)
 
-    fn = make_fused_group_attention(B, L, M, D, A, ROWS, rows_per_block=2,
+    fn = make_fused_group_attention(B, L, M, D, A, ROWS, rows_per_block=rpb,
                                     interpret=True)
     got_att, got_gsum = fn(jnp.asarray(item), jnp.asarray(ctrl),
                            jnp.asarray(ha), jnp.asarray(sent_w),
