@@ -1,3 +1,6 @@
+"""On-chip fidelity check: vocab-topk fast-path beam vs the dense XLA
+beam at the production shape (token match rate + score deltas).
+"""
 import sys; sys.path.insert(0, ".")
 import numpy as np, jax, jax.numpy as jnp
 from vsrcic_tpu.models.api import ControllableCaptioner
