@@ -19,7 +19,7 @@ import time
 BASELINE_PER_CHIP = 1250.0
 
 
-def main():
+def _attempt():
     import jax
     import jax.numpy as jnp
     from vsrcic_tpu.models.api import ControllableCaptioner
@@ -100,6 +100,16 @@ def main():
         "unit": "captions/s/chip",
         "vs_baseline": round(caps_per_sec / BASELINE_PER_CHIP, 4),
     }))
+
+
+def main():
+    # The axon tunnel's backend init is known-flaky (BENCH_r03 died at
+    # jax.devices() with a transient UNAVAILABLE); retry the whole attempt
+    # -- init, staging, compile, timing -- with bounded backoff so one
+    # transient error can't lose the round's driver-verified number.
+    from vsrcic_tpu.utils.retry import with_backend_retry
+
+    with_backend_retry(_attempt, attempts=5, label="bench")
 
 
 if __name__ == "__main__":

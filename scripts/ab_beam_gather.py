@@ -31,13 +31,12 @@ def main():
 
     runners = []
     ref_words = None
-    for name, env in (("flat", "0"), ("take_along", "1")):
-        os.environ["VSRCIC_BEAM_TAKE_ALONG"] = env
+    for name, take_along in (("flat", False), ("take_along", True)):
         cap = ControllableCaptioner(
             cfg, key=key,
             verb_2_vob_all={str(i): [5 + i, 40 + i] for i in range(1, 200)},
             use_fused_attention=True, table_dtype=jnp.bfloat16,
-            use_vocab_topk=True)
+            use_vocab_topk=True, beam_gather_take_along=take_along)
 
         def run(cap=cap):
             return cap.beam_search_v(detections, det_groups, verb_list,

@@ -52,4 +52,6 @@ def main():
               % (B, mode, dt * 1e3, B / dt))
 
 if __name__ == "__main__":
-    main()
+    from vsrcic_tpu.utils.retry import with_backend_retry
+
+    with_backend_retry(main, attempts=5, label="bench_scst")

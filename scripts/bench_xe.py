@@ -57,4 +57,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from vsrcic_tpu.utils.retry import with_backend_retry
+
+    with_backend_retry(main, attempts=5, label="bench_xe")

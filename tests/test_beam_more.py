@@ -16,10 +16,8 @@ def test_gather_beam_flat_matches_take_along(monkeypatch):
         "g3": jnp.asarray(rng.randn(batch * k, 2, 5).astype(np.float32)),
     }
     sel = jnp.asarray(rng.randint(0, k, size=(batch, k)))
-    monkeypatch.setenv("VSRCIC_BEAM_TAKE_ALONG", "0")
-    flat = beam_mod._gather_beam(tree, sel, batch, k)
-    monkeypatch.setenv("VSRCIC_BEAM_TAKE_ALONG", "1")
-    ta = beam_mod._gather_beam(tree, sel, batch, k)
+    flat = beam_mod._gather_beam(tree, sel, batch, k, take_along=False)
+    ta = beam_mod._gather_beam(tree, sel, batch, k, take_along=True)
     for key in tree:
         np.testing.assert_array_equal(np.asarray(flat[key]),
                                       np.asarray(ta[key]))

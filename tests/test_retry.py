@@ -1,0 +1,58 @@
+"""Unit tests for the transient-backend retry wrapper (utils/retry.py).
+
+Motivated by BENCH_r03: the driver's bench capture died at a single
+``jax.devices()`` call on a transient ``UNAVAILABLE`` init error. The
+wrapper must retry exactly that class of error, bounded, and nothing else.
+"""
+import pytest
+
+from vsrcic_tpu.utils.retry import is_transient_backend_error, with_backend_retry
+
+
+def test_transient_error_is_retried(monkeypatch):
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    calls = []
+
+    def fn():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError(
+                "Unable to initialize backend 'axon': UNAVAILABLE: "
+                "TPU backend setup/compile error (Unavailable).")
+        return "ok"
+
+    assert with_backend_retry(fn, attempts=5) == "ok"
+    assert len(calls) == 3
+
+
+def test_non_transient_error_raises_immediately():
+    calls = []
+
+    def fn():
+        calls.append(1)
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        with_backend_retry(fn, attempts=5)
+    assert len(calls) == 1
+
+
+def test_attempts_exhausted_raises_last(monkeypatch):
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    calls = []
+
+    def fn():
+        calls.append(1)
+        raise RuntimeError("UNAVAILABLE: flaky")
+
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        with_backend_retry(fn, attempts=3, base_delay=0.0)
+    assert len(calls) == 3
+
+
+def test_marker_classification():
+    assert is_transient_backend_error(RuntimeError("FAILED_PRECONDITION: x"))
+    assert is_transient_backend_error(
+        RuntimeError("TPU backend setup/compile error (Unavailable)"))
+    assert not is_transient_backend_error(RuntimeError("XlaRuntimeError: "
+                                                       "invalid argument"))

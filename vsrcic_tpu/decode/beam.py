@@ -37,7 +37,7 @@ class BeamResult(NamedTuple):
     scores: jnp.ndarray       # (B, K)
 
 
-def _gather_beam(tree, sel, batch, beam):
+def _gather_beam(tree, sel, batch, beam, take_along=False):
     """Reindex every (batch*beam, ...) leaf by per-item beam selection sel (B, K).
 
     Default form: one flat row gather per leaf on the native (batch*beam, ...)
@@ -45,10 +45,12 @@ def _gather_beam(tree, sel, batch, beam):
     layout copies ({2,0,1} transposes) around each per-leaf gather
     (~0.45 ms/step at batch 1024 x beam 5). The flat global row index stays
     shard-local under shard_map (each shard calls this on its local batch);
-    VSRCIC_BEAM_TAKE_ALONG=1 restores the take_along_axis form.
+    take_along=True restores the take_along_axis form. The knob is a plain
+    argument (threaded from ControllableCaptioner, where the
+    VSRCIC_BEAM_TAKE_ALONG env var is honored once at construction) — NOT an
+    env read here, which under jit would be captured silently at first trace.
     """
-    import os
-    if bool(int(os.environ.get("VSRCIC_BEAM_TAKE_ALONG", "0"))):
+    if take_along:
         def g(x):
             xk = x.reshape((batch, beam) + x.shape[1:])
             selx = sel.reshape((batch, beam) + (1,) * (xk.ndim - 2))
@@ -61,7 +63,8 @@ def _gather_beam(tree, sel, batch, beam):
 
 
 def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
-                      seq_len: int, eos_word: int, eos_gate: int = -1) -> BeamResult:
+                      seq_len: int, eos_word: int, eos_gate: int = -1,
+                      gather_take_along: bool = False) -> BeamResult:
     """Run the joint beam search.
 
     `state` must already be expanded to leading dim batch*beam_size with all
@@ -107,7 +110,8 @@ def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
     beam0 = (jnp.arange(k) == 0)[None, :, None, None]
     seq_logprob, sel_beam, word, gate = joint_topk(
         jnp.zeros((batch, k)), w, g, t0_mask=beam0)
-    state = _gather_beam(state, sel_beam, batch, k)
+    state = _gather_beam(state, sel_beam, batch, k,
+                         take_along=gather_take_along)
 
     words = jnp.zeros((batch, k, seq_len), jnp.int32).at[:, :, 0].set(word)
     gates = jnp.zeros((batch, k, seq_len), jnp.int32).at[:, :, 0].set(gate)
@@ -140,7 +144,8 @@ def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
         seq_logprob, sel_beam, word, gate = joint_topk(
             seq_logprob, w, g, frozen=(mask_full == 0.0))
 
-        state = _gather_beam(state, sel_beam, batch, k)
+        state = _gather_beam(state, sel_beam, batch, k,
+                         take_along=gather_take_along)
         g2 = lambda a: jnp.take_along_axis(a, sel_beam, axis=1)
         g3 = lambda a: jnp.take_along_axis(a, sel_beam[:, :, None], axis=1)
         mask_w, mask_g = g2(mask_w), g2(mask_g)
@@ -167,7 +172,8 @@ def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
 def beam_search_joint_candidates(step_fn: Callable, state: Any, batch: int,
                                  beam_size: int, seq_len: int, eos_word: int,
                                  vocab_size: int,
-                                 eos_gate: int = -1) -> BeamResult:
+                                 eos_gate: int = -1,
+                                 gather_take_along: bool = False) -> BeamResult:
     """Candidate-based joint beam search — same selection as
     `beam_search_joint` without ever scoring the dense (beam x vocab x gate)
     space.
@@ -241,7 +247,8 @@ def beam_search_joint_candidates(step_fn: Callable, state: Any, batch: int,
     g = g_logp.reshape(batch, k, 2)
     (seq_logprob, sel_beam, word, gate, w_lp0, g_lp0) = select(
         jnp.zeros((batch, k)), ids, wlp, g, t0_only_beam0=True)
-    state = _gather_beam(state, sel_beam, batch, k)
+    state = _gather_beam(state, sel_beam, batch, k,
+                         take_along=gather_take_along)
 
     words = jnp.zeros((batch, k, seq_len), jnp.int32).at[:, :, 0].set(word)
     gates = jnp.zeros((batch, k, seq_len), jnp.int32).at[:, :, 0].set(gate)
@@ -266,7 +273,8 @@ def beam_search_joint_candidates(step_fn: Callable, state: Any, batch: int,
         (seq_logprob, sel_beam, word, gate, wlp_sel, glp_sel) = select(
             seq_logprob, ids, wlp, g, frozen=(mask_full == 0.0))
 
-        state = _gather_beam(state, sel_beam, batch, k)
+        state = _gather_beam(state, sel_beam, batch, k,
+                         take_along=gather_take_along)
         g2 = lambda a: jnp.take_along_axis(a, sel_beam, axis=1)
         g3 = lambda a: jnp.take_along_axis(a, sel_beam[:, :, None], axis=1)
         mask_w, mask_g = g2(mask_w), g2(mask_g)

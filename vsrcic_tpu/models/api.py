@@ -40,7 +40,8 @@ class ControllableCaptioner:
                  verb_2_vob_all: Optional[Dict] = None,
                  decode_dtype=None, use_fused_attention: bool = False,
                  table_dtype=None, use_vocab_topk=False, step_dtype=None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 beam_gather_take_along: Optional[bool] = None):
         """decode_dtype: cast params for decode (measured SLOWER on TPU than
         default-precision fp32 — see docs/ENGINEERING_NOTES.md; kept as an
         option). table_dtype: storage dtype for the beam statics tables
@@ -63,6 +64,16 @@ class ControllableCaptioner:
         # step_dtype (e.g. bf16): surgical weight-storage cast for the big
         # decode-step matmuls (see derive_fused_step_weights); fast path
         self.step_dtype = step_dtype
+        # beam parent-state gather form: flat global-row gather (False, the
+        # measured-faster default) vs reshape+take_along_axis (True). The
+        # VSRCIC_BEAM_TAKE_ALONG env var is honored ONCE here, at
+        # construction — never inside traced code (it would be captured
+        # silently at first trace and ignored afterwards).
+        if beam_gather_take_along is None:
+            import os
+            beam_gather_take_along = bool(int(
+                os.environ.get("VSRCIC_BEAM_TAKE_ALONG", "0")))
+        self.beam_gather_take_along = beam_gather_take_along
         self._fused_cache = {}
         self.decode_dtype = decode_dtype
         self.table_dtype = table_dtype
@@ -248,7 +259,8 @@ class ControllableCaptioner:
             return beam_search_joint_candidates(
                 step_fn, init_state(self.cfg, b * beam_size), b, beam_size,
                 self.cfg.seq_len, eos_word=eos_word,
-                vocab_size=self.cfg.vocab_size)
+                vocab_size=self.cfg.vocab_size,
+                gather_take_along=self.beam_gather_take_along)
 
         def step_fn(state, pw, pg, t0):
             return captioner_step_v(params, self.cfg, state, statics,
@@ -259,7 +271,8 @@ class ControllableCaptioner:
 
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,
-                                 eos_word=eos_word)
+                                 eos_word=eos_word,
+                                 gather_take_along=self.beam_gather_take_along)
 
     def _beam_impl(self, params, detections, det_groups, beam_size, eos_word):
         b = detections.shape[0]
@@ -273,7 +286,8 @@ class ControllableCaptioner:
 
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,
-                                 eos_word=eos_word)
+                                 eos_word=eos_word,
+                                 gather_take_along=self.beam_gather_take_along)
 
     # -- public API (reference parity) ---------------------------------------
     def forward(self, detections, captions, ctrl_det_seqs):

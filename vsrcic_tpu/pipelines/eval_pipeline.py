@@ -280,7 +280,11 @@ class EvalPipeline:
         # = the loop's group-then-pred walk, ref eval_coco.py:202-211)
         pk = ga.pair_key
         pvalid = np.cumprod(preds != 0, axis=1).astype(bool)   # break at 0
-        safe = preds < ga.sr_space                             # no key alias
+        # guard both ends: a negative planner token would otherwise compute
+        # g*sr_space + pred and alias into the PREVIOUS group's pair key
+        # (the loop oracle skips unknown SRs; unreachable with the argmax
+        # planner, but make the invariant explicit)
+        safe = (preds > 0) & (preds < ga.sr_space)             # no key alias
         keys = np.where(safe,
                         np.arange(G)[:, None] * ga.sr_space + preds, -1)
         pos_q = np.searchsorted(pk, keys)

@@ -74,8 +74,11 @@ def ptb_word_tokenize(text: str) -> List[str]:
 
 
 def ptb_tokenize(captions: Union[Dict, Sequence]):
-    """coco-caption PTBTokenizer.tokenize parity: lowercase, tokenize, drop
-    punctuation tokens, join with spaces.
+    """coco-caption PTBTokenizer.tokenize parity: tokenize the original
+    text, lowercase the tokens, drop punctuation tokens, join with spaces.
+
+    Tokenize-then-lowercase order matters: it is what keeps the jar's
+    ``-lrb-``/``-rrb-`` bracket tokens (pinned in tests/test_ptb_golden.py).
 
     Accepts {key: [caption strings]} -> {key: [tokenized strings]}, or a
     sequence of caption-lists / strings with the same nesting preserved

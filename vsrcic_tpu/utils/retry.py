@@ -1,0 +1,70 @@
+"""Bounded retry around transient TPU backend failures.
+
+The axon tunnel occasionally fails backend init (or the first compile)
+with ``UNAVAILABLE: TPU backend setup/compile error`` — a transient
+condition that has cost driver bench captures in past rounds (BENCH_r03
+rc=1, MULTICHIP_r01). This helper re-runs a whole attempt (device probe +
+data staging + compile + run) after clearing jax's cached backend state,
+with exponential backoff bounded to ~3 minutes total.
+
+It retries only *exceptions* that look like transient init failures.
+A hung tunnel (calls that never return) is a different failure mode that
+retrying cannot fix and is deliberately out of scope here.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from typing import Callable, TypeVar
+
+T = TypeVar("T")
+
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE",
+    "FAILED_PRECONDITION",
+    "Unable to initialize backend",
+    "backend setup/compile error",
+)
+
+
+def is_transient_backend_error(exc: BaseException) -> bool:
+    msg = str(exc)
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def _clear_backend_cache() -> None:
+    """Drop jax's cached (failed) backend so the next attempt re-inits."""
+    try:
+        from jax._src import xla_bridge
+
+        xla_bridge._clear_backends()
+    except Exception:  # pragma: no cover - best effort across jax versions
+        pass
+
+
+def with_backend_retry(fn: Callable[[], T], *, attempts: int = 5,
+                       base_delay: float = 5.0, label: str = "bench") -> T:
+    """Run ``fn`` with bounded retries on transient backend errors.
+
+    ``fn`` must be safe to re-run from scratch: each retry clears jax's
+    backend cache, so any arrays created by a failed attempt are gone and
+    the attempt must rebuild its own inputs. Backoff doubles per retry
+    (5, 10, 20, 40 s => ~75 s of sleep across 5 attempts, plus attempt
+    time, staying within the ~3 minute budget).
+    """
+    last: BaseException | None = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 - filtered below
+            if not is_transient_backend_error(exc) or i == attempts - 1:
+                raise
+            last = exc
+            delay = base_delay * (2 ** i)
+            first_line = str(exc).splitlines()[0] if str(exc) else repr(exc)
+            print(f"[{label}] transient backend error (attempt {i + 1}/"
+                  f"{attempts}): {first_line}; retrying in {delay:.0f}s",
+                  file=sys.stderr, flush=True)
+            _clear_backend_cache()
+            time.sleep(delay)
+    raise last  # pragma: no cover - loop always returns or raises
