@@ -1,0 +1,64 @@
+"""End-to-end CLI lifecycle on the synthetic backend.
+
+Covers the composition glue in cli/train.py and cli/eval.py that the unit
+suites only exercise underneath (trainer/pipeline classes): XE training
+writes a val-CIDEr best checkpoint, --sample_rl warm-starts from it
+(ref coco_scripts/train.py:85-90), and cli/eval.py loads the trained
+captioner checkpoint, runs the full SSP+Sinkhorn+beam pipeline and prints
+the metric table (ref coco_scripts/eval_coco.py:39-287,
+flickr_scripts/eval_flickr.py). Tiny model dims keep it CPU-feasible.
+"""
+import os
+
+TINY = ["--synthetic", "--synthetic_images", "16", "--batch_size", "8",
+        "--platform", "cpu", "--seed", "7",
+        "--rnn_size", "16", "--att_size", "8", "--input_encoding_size", "16"]
+
+
+def _ckpt_exists(path):
+    return os.path.isdir(path) or os.path.isfile(path + ".npz")
+
+
+def test_cli_lifecycle_coco(tmp_path, capsys):
+    from vsrcic_tpu.cli import eval as eval_cli
+    from vsrcic_tpu.cli import train as train_cli
+
+    ckpt_root = str(tmp_path / "saved")
+
+    # -- XE: two epochs, best ckpt on val CIDEr (ref train.py:185-251) ----
+    train_cli.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
+                    "--max_epochs", "2"] + TINY)
+    out = capsys.readouterr().out
+    assert "val CIDEr" in out
+    best = os.path.join(ckpt_root, "coco_cap", "exp_best")
+    assert _ckpt_exists(best)
+    assert _ckpt_exists(os.path.join(ckpt_root, "coco_cap", "exp_last"))
+
+    # -- SCST: warm-starts from the XE best ckpt (ref train.py:85-90) -----
+    train_cli.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
+                    "--sample_rl", "--max_steps", "1", "--max_epochs", "1"]
+                   + TINY)
+    out = capsys.readouterr().out
+    assert "restored XE best" in out
+    assert _ckpt_exists(os.path.join(ckpt_root, "coco_cap", "exp_rl_last"))
+
+    # -- eval: loads the captioner ckpt, prints the metric table ----------
+    cider = eval_cli.main(["--dataset", "coco", "--limit", "2",
+                           "--captioner_ckpt", best] + TINY)
+    out = capsys.readouterr().out
+    for name in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr",
+                 "METEOR", "SPICE"):
+        assert name in out, name
+    assert "decoded" in out          # throughput line
+    assert isinstance(cider, float)
+
+
+def test_cli_eval_flickr_det_smoke(capsys):
+    """Flickr detected-regions eval path (ref eval_flickr.py --det)."""
+    from vsrcic_tpu.cli import eval as eval_cli
+
+    cider = eval_cli.main(["--dataset", "flickr", "--det", "--limit", "2"]
+                          + TINY)
+    out = capsys.readouterr().out
+    assert "CIDEr" in out
+    assert isinstance(cider, float)

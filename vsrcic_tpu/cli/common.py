@@ -45,6 +45,12 @@ def base_parser(**defaults) -> argparse.ArgumentParser:
                    help="run on the synthetic data backend (no real data)")
     p.add_argument("--synthetic_images", default=24, type=int)
     p.add_argument("--feat_dim", default=2048, type=int)
+    # captioner width knobs (reference hardcodes 1000/1000/512,
+    # controllable_captioning.py:11 — defaults match; tiny values make the
+    # CLI lifecycle testable on a CPU host, tests/test_cli_lifecycle.py)
+    p.add_argument("--input_encoding_size", default=1000, type=int)
+    p.add_argument("--rnn_size", default=1000, type=int)
+    p.add_argument("--att_size", default=512, type=int)
     p.add_argument("--max_epochs", default=100, type=int)
     p.add_argument("--max_steps", default=None, type=int,
                    help="stop after N optimizer steps (smoke tests)")

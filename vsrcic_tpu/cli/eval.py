@@ -95,7 +95,9 @@ def main(argv=None):
 
     # models
     cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),
-                          bos_idx=tf.bos_idx, det_feat_size=opt.feat_dim)
+                          bos_idx=tf.bos_idx, det_feat_size=opt.feat_dim,
+                          input_encoding_size=opt.input_encoding_size,
+                          rnn_size=opt.rnn_size, att_size=opt.att_size)
     cap_params = None
     if opt.captioner_ckpt:
         if opt.captioner_ckpt.endswith(".pth"):

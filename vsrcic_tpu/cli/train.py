@@ -100,6 +100,8 @@ def main(argv=None):
     cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),
                           bos_idx=tf.bos_idx,
                           det_feat_size=opt.feat_dim,
+                          input_encoding_size=opt.input_encoding_size,
+                          rnn_size=opt.rnn_size, att_size=opt.att_size,
                           h2_first_lstm=bool(opt.h2_first_lstm),
                           img_second_lstm=bool(opt.img_second_lstm))
     params = init_captioner_params(jax.random.PRNGKey(opt.seed), cfg)
@@ -163,6 +165,18 @@ def main(argv=None):
         trainer = CaptionerXETrainer(cfg, params, lr=opt.lr, mesh=mesh)
 
     cider_val = Cider()
+
+    import jax.numpy as jnp
+    from vsrcic_tpu.decode.loops import expand_compact_groups
+
+    # hoisted out of the val loop: a jit-wrapped closure created per batch
+    # would retrace/recompile every iteration
+    @jax.jit
+    def _val_decode(params, dets, ids_test):
+        groups = expand_compact_groups(dets, ids_test)
+        statics = precompute_statics(params, cfg, dets, groups)
+        return greedy_decode(params, cfg, statics)
+
     step = 0
     for e in range(opt.max_epochs):
         if not opt.sample_rl:
@@ -217,15 +231,6 @@ def main(argv=None):
         for batch in loader_val:
             (dets, _), det_out, caps = batch
             _, _, det_seqs_test, _ = det_out
-            import jax.numpy as jnp
-            from vsrcic_tpu.decode.loops import expand_compact_groups
-
-            @jax.jit
-            def _val_decode(params, dets, ids_test):
-                groups = expand_compact_groups(dets, ids_test)
-                statics = precompute_statics(params, cfg, dets, groups)
-                return greedy_decode(params, cfg, statics)
-
             words, _ = _val_decode(trainer.state.params, jnp.asarray(dets),
                                    jnp.asarray(det_seqs_test))
             for w, c in zip(np.asarray(words), caps):
