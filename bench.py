@@ -20,6 +20,14 @@ BASELINE_PER_CHIP = 1250.0
 
 
 def _attempt():
+    # probe init in a killable subprocess first: a hung tunnel (relay
+    # process dead) blocks jax.devices() in C++ forever and cannot be
+    # interrupted in-process — the probe converts a hang into a bounded,
+    # retry-classified error so the bench fails fast instead of stalling
+    # the driver capture
+    from vsrcic_tpu.utils.retry import probe_backend
+    probe_backend(timeout=150.0)
+
     import jax
     import jax.numpy as jnp
     from vsrcic_tpu.models.api import ControllableCaptioner

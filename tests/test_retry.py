@@ -56,3 +56,47 @@ def test_marker_classification():
         RuntimeError("TPU backend setup/compile error (Unavailable)"))
     assert not is_transient_backend_error(RuntimeError("XlaRuntimeError: "
                                                        "invalid argument"))
+
+
+def test_probe_backend_timeout_is_transient(monkeypatch):
+    import subprocess
+
+    from vsrcic_tpu.utils import retry as retry_mod
+
+    def fake_run(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="python", timeout=kw["timeout"])
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with pytest.raises(RuntimeError) as ei:
+        retry_mod.probe_backend(timeout=0.01)
+    assert is_transient_backend_error(ei.value)
+
+
+def test_probe_backend_failure_propagates(monkeypatch):
+    import subprocess
+
+    from vsrcic_tpu.utils import retry as retry_mod
+
+    class R:
+        returncode = 1
+        stdout = ""
+        stderr = "RuntimeError: Unable to initialize backend 'axon': UNAVAILABLE"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **kw: R())
+    with pytest.raises(RuntimeError) as ei:
+        retry_mod.probe_backend(timeout=1.0)
+    assert is_transient_backend_error(ei.value)
+
+
+def test_probe_backend_success(monkeypatch):
+    import subprocess
+
+    from vsrcic_tpu.utils import retry as retry_mod
+
+    class R:
+        returncode = 0
+        stdout = "cpu\n"
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **kw: R())
+    assert retry_mod.probe_backend(timeout=1.0) == "cpu"

@@ -42,6 +42,38 @@ def _clear_backend_cache() -> None:
         pass
 
 
+def probe_backend(timeout: float = 120.0) -> str:
+    """Probe backend init in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel has two distinct failure modes: transient init
+    *errors* (retryable) and outright *hangs* — jax.devices() blocks in
+    C++ forever (observed when the tunnel relay process dies mid-session).
+    A hang in-process is unkillable from Python, so the probe runs in a
+    child process that can be killed; a timeout is surfaced as a
+    transient-classified RuntimeError so with_backend_retry treats both
+    modes uniformly (bounded retries, then a clean nonzero exit instead of
+    hanging the caller forever).
+
+    Returns the probed platform name (e.g. "tpu"/"axon"/"cpu").
+    """
+    import subprocess
+
+    code = ("import jax; d = jax.devices(); "
+            "print(d[0].platform, flush=True)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            "UNAVAILABLE: backend init probe exceeded %.0fs (tunnel hang)"
+            % timeout)
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        raise RuntimeError("backend init probe failed (rc=%d): %s"
+                           % (r.returncode, tail[-1] if tail else "?"))
+    return r.stdout.strip().split()[-1]
+
+
 def with_backend_retry(fn: Callable[[], T], *, attempts: int = 5,
                        base_delay: float = 5.0, label: str = "bench") -> T:
     """Run ``fn`` with bounded retries on transient backend errors.
