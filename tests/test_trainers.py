@@ -252,3 +252,76 @@ def test_scst_fast_decode_runs(cfg):
     groups = rng.rand(4, 3, 4, cfg.det_feat_size).astype(np.float32)
     loss, adv = tr.step(dets, groups, caps, jax.random.PRNGKey(1))
     assert np.isfinite(loss) and np.isfinite(adv)
+
+
+def test_xe_compact_lean_matches_dense(cfg):
+    """The memory-lean compact XE loss (per-step expansion under
+    jax.checkpoint, in-scan NLL reduction) must match the dense path in
+    loss AND gradients — it exists only to cut residual memory
+    (batch-1024 OOM, docs/ENGINEERING_NOTES), never to change values."""
+    from vsrcic_tpu.train.captioner import xe_loss_fn
+
+    rng = np.random.RandomState(3)
+    detections = rng.rand(B, 6, D).astype(np.float32)
+    captions = rng.randint(0, V, size=(B, T))
+    ids = rng.randint(-1, 6, size=(B, T, M)).astype(np.int32)
+    gates = rng.randint(0, 2, size=(B, T))
+    gates[:, -2:] = -1
+    dense = np.zeros((B, T, M, D), np.float32)
+    for b in range(B):
+        for t in range(T):
+            for m in range(M):
+                if ids[b, t, m] >= 0:
+                    dense[b, t, m] = detections[b, ids[b, t, m]]
+
+    params = init_captioner_params(jax.random.PRNGKey(5), cfg)
+
+    def loss_of(ctrl):
+        def f(p):
+            loss, aux = xe_loss_fn(p, cfg, jnp.asarray(detections),
+                                   jnp.asarray(captions).astype(jnp.int32),
+                                   ctrl, jnp.asarray(gates).astype(jnp.int32))
+            return loss, aux
+        (loss, (lc, lg)), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, lc, lg, grads
+
+    loss_d, lc_d, lg_d, g_d = loss_of(jnp.asarray(dense))
+    loss_c, lc_c, lg_c, g_c = loss_of(jnp.asarray(ids))
+    np.testing.assert_allclose(float(loss_c), float(loss_d), rtol=1e-6)
+    np.testing.assert_allclose(float(lc_c), float(lc_d), rtol=1e-6)
+    np.testing.assert_allclose(float(lg_c), float(lg_d), rtol=1e-6)
+    bykey = lambda kv: str(kv[0])
+    for (kd, vd), (kc, vc) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g_d), key=bykey),
+            sorted(jax.tree_util.tree_leaves_with_path(g_c), key=bykey)):
+        np.testing.assert_allclose(np.asarray(vc), np.asarray(vd),
+                                   rtol=2e-5, atol=1e-7, err_msg=str(kd))
+
+
+def test_forced_logprobs_remat_identical(cfg):
+    """remat=True must not change the forced_feedback_logprobs loss value;
+    gradients match to float32 ULP (the recomputed backward compiles into
+    different fusions, so last-bit reassociation noise is expected)."""
+    from vsrcic_tpu.train.captioner import scst_loss_fn
+
+    rng = np.random.RandomState(4)
+    detections = rng.rand(B, 6, D).astype(np.float32)
+    groups = rng.rand(B, T, M, D).astype(np.float32)
+    words = jnp.asarray(rng.randint(0, V, size=(B, T)).astype(np.int32))
+    gates = jnp.asarray(rng.randint(0, 2, size=(B, T)).astype(np.int32))
+    adv = jnp.asarray(rng.randn(B).astype(np.float32))
+    params = init_captioner_params(jax.random.PRNGKey(6), cfg)
+
+    outs = {}
+    for remat in (False, True):
+        loss, grads = jax.value_and_grad(scst_loss_fn)(
+            params, cfg, jnp.asarray(detections), jnp.asarray(groups),
+            words, gates, adv, remat=remat)
+        outs[remat] = (float(loss), grads)
+    assert outs[False][0] == outs[True][0]
+    bykey = lambda kv: str(kv[0])
+    for (kd, vd), (kc, vc) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(outs[False][1]), key=bykey),
+            sorted(jax.tree_util.tree_leaves_with_path(outs[True][1]), key=bykey)):
+        np.testing.assert_allclose(np.asarray(vc), np.asarray(vd),
+                                   rtol=1e-4, atol=1e-9, err_msg=str(kd))

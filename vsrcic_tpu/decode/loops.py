@@ -115,7 +115,7 @@ def greedy_decode(params, cfg: CaptionerConfig, statics: Statics,
 
 
 def forced_feedback_logprobs(params, cfg: CaptionerConfig, statics: Statics,
-                             words, gates):
+                             words, gates, remat: bool = False):
     """Differentiable logprobs of a given (word, gate) trajectory.
 
     Re-runs the feedback decode feeding the *given* outputs back (the region
@@ -125,6 +125,12 @@ def forced_feedback_logprobs(params, cfg: CaptionerConfig, statics: Statics,
     recomputes the trajectory's logprobs inside the grad transform —
     numerically identical to the reference's stored `log_probs`
     (ref CaptioningModel.sample_rl :54-76 keeps them in-graph).
+
+    remat=True wraps the scan body in `jax.checkpoint`: the backward pass
+    recomputes each step's gathered group/attention internals instead of
+    storing them as residuals (same values and gradients, ~1 extra forward
+    of FLOPs) — at batch 1024 the stored residuals otherwise OOM HBM
+    (16.5 G > 15.75 G, docs/ENGINEERING_NOTES 'SCST batch sweep').
     """
     b, t_len = words.shape
 
@@ -140,6 +146,8 @@ def forced_feedback_logprobs(params, cfg: CaptionerConfig, statics: Statics,
         g_lp = jnp.take_along_axis(g_logp, gate_t[:, None], 1)[:, 0]
         return (new_state, word_t, gate_t, t + 1), (w_lp, g_lp)
 
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
     xs = (jnp.moveaxis(words, 0, 1), jnp.moveaxis(gates, 0, 1))
     init = (init_state(cfg, b), jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), jnp.int32), jnp.int32(0))

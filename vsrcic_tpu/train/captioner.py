@@ -40,15 +40,79 @@ def xe_loss_fn(params, cfg: CaptionerConfig, detections, captions,
     weighted 4x, padding ignored via index -1).
 
     ctrl_det_seqs: dense (B, T, M, D) float groups OR compact (B, T, M) int
-    group indices (expanded on device — 8x smaller host->device payload).
+    group indices. Compact ids take the memory-lean path (per-step
+    expansion under jax.checkpoint, `_xe_loss_compact`): the backward pass
+    at batch 1024 otherwise keeps the expanded (T, B, M, D) group tensors
+    as residuals and OOMs HBM (20.4 G > 15.75 G, docs/ENGINEERING_NOTES).
     """
     if jnp.issubdtype(ctrl_det_seqs.dtype, jnp.integer):
-        from vsrcic_tpu.decode.loops import expand_compact_groups
-        ctrl_det_seqs = expand_compact_groups(detections, ctrl_det_seqs)
+        return _xe_loss_compact(params, cfg, detections, captions,
+                                ctrl_det_seqs, gate_targets)
     word_logp, gate_logp = forward_teacher_forcing(
         params, cfg, detections, captions, ctrl_det_seqs)
     loss_cap = nll_loss(word_logp[:, :-1], captions[:, 1:])
     loss_gate = nll_loss(gate_logp, gate_targets, ignore_index=-1)
+    return loss_cap + 4.0 * loss_gate, (loss_cap, loss_gate)
+
+
+def _xe_loss_compact(params, cfg: CaptionerConfig, detections, captions,
+                     det_ids, gate_targets):
+    """XE loss from COMPACT (B, T, M) int group ids, memory-lean.
+
+    Numerically equal to the dense path (pinned in tests/test_trainers.py)
+    but the per-step group expansion + att projection run INSIDE a
+    `jax.checkpoint`'d scan body and the per-step NLL terms are reduced
+    in-scan — neither the (B, T, M, D) group tensor nor the (B, T, V)
+    logits ever materialize, and the backward recomputes the step instead
+    of storing its internals. Residual footprint drops from O(B*T*M*D) to
+    O(B*T*M) ids + the (B,) carries, unlocking batch 1024+ on one chip
+    (ref train.py:103-113 is the loss this computes).
+    """
+    from vsrcic_tpu.core import nn
+    from vsrcic_tpu.decode.loops import expand_compact_groups
+    from vsrcic_tpu.models.captioner import (CaptionerState, _step_core,
+                                             init_state)
+
+    b, t_len = captions.shape
+    captions = captions.astype(jnp.int32)
+    det_mask = (jnp.sum(detections, -1, keepdims=True)
+                != 0).astype(detections.dtype)
+    image_descriptor = jnp.sum(detections, 1) / jnp.sum(det_mask, 1)
+
+    # word loss is shifted (step t predicts captions[:, t+1], last step
+    # unused); gate loss is unshifted with -1 ignored — ref train.py:105-108
+    tgt_next = jnp.concatenate(
+        [captions[:, 1:], jnp.zeros((b, 1), jnp.int32)], axis=1)
+    w_on = (jnp.arange(t_len) < t_len - 1).astype(detections.dtype)
+    xs = (jnp.moveaxis(captions, 1, 0),                  # it (T, B)
+          jnp.moveaxis(det_ids, 1, 0),                   # ids (T, B, M)
+          jnp.moveaxis(tgt_next, 1, 0),                  # word targets
+          jnp.moveaxis(jnp.asarray(gate_targets).astype(jnp.int32), 1, 0),
+          w_on)
+
+    def body(state, x):
+        it, ids_t, tgt_t, gate_t, on_t = x
+        det_curr = expand_compact_groups(detections, ids_t)   # (B, M, D)
+        det_proj = nn.linear(params["att_va"], det_curr)
+        mask = (jnp.sum(det_curr, -1) != 0).astype(det_curr.dtype)
+        (w_logp, g_logp), (h1, c1, h2, c2) = _step_core(
+            params, cfg, state, it, det_curr, det_proj, mask,
+            image_descriptor)
+        w_lp = jnp.take_along_axis(w_logp, tgt_t[:, None], 1)[:, 0]
+        g_valid = (gate_t != -1)
+        g_lp = jnp.take_along_axis(
+            g_logp, jnp.clip(gate_t, 0, 1)[:, None], 1)[:, 0]
+        out = (jnp.sum(w_lp) * on_t,
+               jnp.sum(g_lp * g_valid),
+               jnp.sum(g_valid.astype(jnp.float32)))
+        return CaptionerState(h1, c1, h2, c2, state.ctrl_det_idx), out
+
+    # prevent_cse=False is safe (and cheaper) under lax.scan
+    body = jax.checkpoint(body, prevent_cse=False)
+    _, (w_sums, g_sums, g_counts) = jax.lax.scan(
+        body, init_state(cfg, b), xs)
+    loss_cap = -jnp.sum(w_sums) / (b * (t_len - 1))
+    loss_gate = -jnp.sum(g_sums) / jnp.maximum(jnp.sum(g_counts), 1.0)
     return loss_cap + 4.0 * loss_gate, (loss_cap, loss_gate)
 
 
@@ -95,10 +159,10 @@ class CaptionerXETrainer:
 
 
 def scst_loss_fn(params, cfg: CaptionerConfig, detections, det_groups,
-                 words, gates, advantage):
+                 words, gates, advantage, remat: bool = False):
     statics = precompute_statics(params, cfg, detections, det_groups)
     w_lps, g_lps = forced_feedback_logprobs(params, cfg, statics, words,
-                                            gates)
+                                            gates, remat=remat)
     per_seq = -(jnp.mean(w_lps, -1) + jnp.mean(g_lps, -1)) * advantage
     return jnp.mean(per_seq)
 
@@ -120,7 +184,11 @@ class CaptionerSCSTTrainer:
     def __init__(self, cfg: CaptionerConfig, params, text_field: TextField,
                  cider: Cider, lr: float = 5e-4, mesh=None,
                  baseline: str = "step", fast_decode: bool = False,
-                 table_dtype=None, pallas_interpret: bool = False):
+                 table_dtype=None, pallas_interpret: bool = False,
+                 remat: bool = True):
+        """remat: jax.checkpoint the grad pass's per-step internals (same
+        gradients, ~1 extra forward in backward) — required for batch 1024+
+        on one chip; see forced_feedback_logprobs."""
         if baseline not in ("step", "epoch"):
             raise ValueError("baseline must be 'step' or 'epoch'")
         self.cfg = cfg
@@ -181,7 +249,7 @@ class CaptionerSCSTTrainer:
                       gates, advantage):
             loss, grads = jax.value_and_grad(scst_loss_fn)(
                 state.params, cfg, detections, det_groups, words, gates,
-                advantage)
+                advantage, remat=remat)
             return apply_grads(self.tx, state, grads), loss
 
         self.mesh = mesh
