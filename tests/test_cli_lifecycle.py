@@ -49,6 +49,10 @@ def test_cli_lifecycle_coco(tmp_path, capsys):
     for name in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr",
                  "METEOR", "SPICE"):
         assert name in out, name
+    # METEOR is scored (native fallback), never 'unavailable'
+    assert "METEOR unavailable" not in out
+    meteor_line = [l for l in out.splitlines() if l.startswith("METEOR")][0]
+    assert 0.0 <= float(meteor_line.split()[-1]) <= 1.0
     assert "decoded" in out          # throughput line
     assert isinstance(cider, float)
 

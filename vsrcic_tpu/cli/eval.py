@@ -60,7 +60,7 @@ def main(argv=None):
     from vsrcic_tpu.core.checkpoint import restore_checkpoint
     from vsrcic_tpu.data import DataLoader, DictionaryDataset, RawField
     from vsrcic_tpu.metrics import (Bleu, Cider, ExternalMetricUnavailable,
-                                    Meteor, Rouge, Spice)
+                                    Meteor, NativeMeteor, Rouge, Spice)
     from vsrcic_tpu.models.api import ControllableCaptioner
     from vsrcic_tpu.models.captioner import CaptionerConfig
     from vsrcic_tpu.models.s_ssp import SSPConfig, init_ssp_params
@@ -190,12 +190,20 @@ def main(argv=None):
     print("ROUGE_L", val_rouge)
     val_cider, _ = Cider().compute_score(gts_t, gen_t)
     print("CIDEr", val_cider)
-    for name, metric in (("METEOR", Meteor()), ("SPICE", Spice())):
-        try:
-            score, _ = metric.compute_score(gts_t, gen_t)
-            print(name, score)
-        except ExternalMetricUnavailable as err:
-            print("%s unavailable: %s" % (name, err))
+    try:
+        val_meteor, _ = Meteor().compute_score(gts_t, gen_t)
+        print("METEOR", val_meteor)
+    except ExternalMetricUnavailable:
+        # no meteor-1.5.jar configured: native METEOR (exact+stem stages,
+        # jar-identical formulas/parameters — metrics/meteor.py docstring
+        # records the resource-level divergences)
+        val_meteor, _ = NativeMeteor().compute_score(gts_t, gen_t)
+        print("METEOR(native)", val_meteor)
+    try:
+        val_spice, _ = Spice().compute_score(gts_t, gen_t)
+        print("SPICE", val_spice)
+    except ExternalMetricUnavailable as err:
+        print("SPICE unavailable: %s" % err)
     return val_cider
 
 
