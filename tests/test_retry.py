@@ -67,9 +67,30 @@ def test_probe_backend_timeout_is_transient(monkeypatch):
         raise subprocess.TimeoutExpired(cmd="python", timeout=kw["timeout"])
 
     monkeypatch.setattr(subprocess, "run", fake_run)
+    # relay alive + probe hang -> transient (slow/flaky tunnel, retry)
+    monkeypatch.setattr(retry_mod, "relay_alive", lambda: True)
     with pytest.raises(RuntimeError) as ei:
         retry_mod.probe_backend(timeout=0.01)
     assert is_transient_backend_error(ei.value)
+
+
+def test_probe_backend_dead_relay_is_permanent(monkeypatch):
+    """Relay process gone + probe hang -> NON-transient: with_backend_retry
+    must fail fast instead of burning attempts x timeout on a tunnel no one
+    inside the VM can restart (validated against the real dead tunnel)."""
+    import subprocess
+
+    from vsrcic_tpu.utils import retry as retry_mod
+
+    def fake_run(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="python", timeout=kw["timeout"])
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(retry_mod, "relay_alive", lambda: False)
+    with pytest.raises(RuntimeError) as ei:
+        retry_mod.probe_backend(timeout=0.01)
+    assert not is_transient_backend_error(ei.value)
+    assert "unrecoverable" in str(ei.value)
 
 
 def test_probe_backend_failure_propagates(monkeypatch):

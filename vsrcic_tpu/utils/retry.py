@@ -42,6 +42,26 @@ def _clear_backend_cache() -> None:
         pass
 
 
+def relay_alive() -> bool:
+    """True iff the axon tunnel relay process (.tpu_init.py) is running.
+
+    The relay's stdio is wired to the host vsock orchestrator; once it
+    dies it cannot be restarted from inside this VM, so clients hang
+    forever. Scanning /proc cmdlines is side-effect-free (connecting to
+    the relay's ports would emit open markers into the dead pipe).
+    """
+    import glob
+
+    for p in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(p, "rb") as f:
+                if b"tpu_init" in f.read():
+                    return True
+        except OSError:
+            continue
+    return False
+
+
 def probe_backend(timeout: float = 120.0) -> str:
     """Probe backend init in a SUBPROCESS with a hard timeout.
 
@@ -64,6 +84,15 @@ def probe_backend(timeout: float = 120.0) -> str:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
+        if not relay_alive():
+            # relay process gone: every client hangs and nothing inside
+            # this VM can restart it — fail fast and permanently (NOT
+            # transient-classified, so with_backend_retry won't burn
+            # attempts x timeout on a dead tunnel)
+            raise RuntimeError(
+                "tpu tunnel relay process is dead (probe hung %.0fs, no "
+                ".tpu_init.py in /proc) — unrecoverable from this VM"
+                % timeout)
         raise RuntimeError(
             "UNAVAILABLE: backend init probe exceeded %.0fs (tunnel hang)"
             % timeout)
