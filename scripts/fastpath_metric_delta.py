@@ -1,0 +1,111 @@
+"""Bound the decode fast path's corpus-metric impact (verdict r3 item 3).
+
+bench.py's headline config enables bf16 statics tables + the streaming
+vocab top-k candidate beam (+ the fused attention kernel on TPU), while
+cli/eval.py defaults strict — the fast path's fidelity was previously
+measured only at token level (99.72% match on-chip). This script measures
+what the fast knobs do to the CORPUS METRICS the reference reports
+(ref coco_scripts/eval_coco.py:269-287):
+
+  1. train a small-but-non-degenerate captioner on the synthetic backend,
+  2. decode the same test set twice through cli/eval.py — strict, then
+     fast (--bf16_tables --vocab_topk [+ --fused on TPU]),
+  3. score both against GT with the native CIDEr/BLEU/ROUGE/METEOR and
+     report per-metric deltas + exact-caption agreement.
+
+On CPU the vocab-topk knob maps to the XLA candidate-beam variant (the
+same candidate-narrowing semantics as the Pallas kernel, which is
+interpret-parity tested separately) and bf16 tables are real bf16 casts,
+so the numerics sources of a metric delta are represented; re-run on a
+live TPU chip for the headline-config numbers (same command).
+
+    python scripts/fastpath_metric_delta.py [--images 48] [--epochs 6]
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+
+def read_dump(path):
+    gen, gts = {}, {}
+    with open(path) as f:
+        for line in f:
+            d = json.loads(line)
+            gen[d["i"]] = [d["pred"]]
+            gts[d["i"]] = [d["gt"]]
+    return gen, gts
+
+
+def score(gen, gts):
+    from vsrcic_tpu.metrics import Bleu, Cider, NativeMeteor, Rouge
+    from vsrcic_tpu.text import ptb_tokenize
+
+    gts_t, gen_t = ptb_tokenize(gts), ptb_tokenize(gen)
+    out = {}
+    bleu, _ = Bleu(4).compute_score(gts_t, gen_t)
+    for i, b in enumerate(bleu):
+        out["Bleu_%d" % (i + 1)] = b
+    out["ROUGE_L"], _ = Rouge().compute_score(gts_t, gen_t)
+    out["CIDEr"], _ = Cider().compute_score(gts_t, gen_t)
+    out["METEOR"], _ = NativeMeteor().compute_score(gts_t, gen_t)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=48)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--rnn_size", type=int, default=32)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="cpu to force CPU; default = whatever jax has")
+    args = ap.parse_args()
+
+    from vsrcic_tpu.cli import eval as eval_cli
+    from vsrcic_tpu.cli import train as train_cli
+
+    plat = args.platform or "auto"
+    tiny = ["--synthetic", "--synthetic_images", str(args.images),
+            "--batch_size", "16", "--seed", "7",
+            "--rnn_size", str(args.rnn_size), "--att_size", "16",
+            "--input_encoding_size", "32"]
+    if args.platform:
+        tiny += ["--platform", args.platform]
+
+    with tempfile.TemporaryDirectory() as td:
+        ckpt_root = os.path.join(td, "saved")
+        train_cli.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
+                        "--max_epochs", str(args.epochs)] + tiny)
+        best = os.path.join(ckpt_root, "coco_cap", "exp_best")
+
+        dumps = {}
+        for name, knobs in (("strict", []),
+                            ("fast", ["--bf16_tables", "--vocab_topk"]
+                             + (["--fused"] if plat not in ("cpu", "auto")
+                                else []))):
+            dump = os.path.join(td, name + ".jsonl")
+            eval_cli.main(["--dataset", "coco", "--captioner_ckpt", best,
+                           "--dump_preds", dump] + knobs + tiny)
+            dumps[name] = dump
+
+        (gen_s, gts), (gen_f, _) = (read_dump(dumps["strict"]),
+                                    read_dump(dumps["fast"]))
+        n = len(gen_s)
+        agree = sum(gen_s[i][0] == gen_f[i][0] for i in gen_s)
+        ms, mf = score(gen_s, gts), score(gen_f, gts)
+        deltas = {k: mf[k] - ms[k] for k in ms}
+        print(json.dumps({
+            "n_captions": n,
+            "caption_agreement": agree / max(n, 1),
+            "strict": {k: round(v, 6) for k, v in ms.items()},
+            "fast": {k: round(v, 6) for k, v in mf.items()},
+            "delta_fast_minus_strict": {k: round(v, 6)
+                                        for k, v in deltas.items()},
+        }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("--data_parallel", default=0, type=int,
                    help="shard the beam over N devices (jax.sharding.Mesh "
                    "data axis via shard_map; 0 = single device)")
+    p.add_argument("--dump_preds", default=None, type=str,
+                   help="write decoded/gt caption pairs as JSON lines "
+                   "(used by scripts/fastpath_metric_delta.py and the "
+                   "real-data parity runbook, docs/MIGRATION.md)")
     opt = p.parse_args(argv)
     print(opt)
     if opt.data_parallel and opt.platform == "cpu":
@@ -179,6 +183,12 @@ def main(argv=None):
     for i, (pred, cap) in enumerate(zip(predictions, gt_captions)):
         gen[i] = [dedup_join(tf.decode(pred, join_words=False))]
         gts[i] = [cap]
+    if opt.dump_preds:
+        import json
+        with open(opt.dump_preds, "w") as f:
+            for i in gen:
+                f.write(json.dumps({"i": i, "pred": gen[i][0],
+                                    "gt": gts[i][0]}) + "\n")
     gts_t = ptb_tokenize(gts)
     gen_t = ptb_tokenize(gen)
 
