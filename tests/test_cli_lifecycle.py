@@ -66,3 +66,18 @@ def test_cli_eval_flickr_det_smoke(capsys):
     out = capsys.readouterr().out
     assert "CIDEr" in out
     assert isinstance(cider, float)
+
+
+def test_cli_train_data_parallel_smoke(tmp_path, capsys):
+    """--data_parallel at the CLI level: XE sharded over a 2-device mesh
+    (conftest provides 8 virtual CPU devices). The trainer-level sharding
+    equivalences live in tests/test_parallel.py; this covers the CLI
+    composition (mesh build, batch divisibility guard, sharded step)."""
+    from vsrcic_tpu.cli import train as train_cli
+
+    ckpt_root = str(tmp_path / "saved")
+    train_cli.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
+                    "--max_epochs", "1", "--data_parallel", "2"] + TINY)
+    out = capsys.readouterr().out
+    assert "val CIDEr" in out
+    assert _ckpt_exists(os.path.join(ckpt_root, "coco_cap", "exp_last"))

@@ -43,6 +43,16 @@ def main(argv=None):
     # pretrained) — here the same XE/SCST trainers run on Flickr entities
     # via FlickrControlSequenceField (entity-IoU region groups)
     print(opt)
+    if opt.data_parallel and opt.platform == "cpu":
+        # virtual CPU devices for the mesh (must precede backend init);
+        # same treatment as cli/eval.py — without it --data_parallel on a
+        # CPU host sees a single device and make_mesh fails
+        import os
+        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count=%d"
+                     % opt.data_parallel)
+        os.environ["XLA_FLAGS"] = " ".join(flags)
     force_platform(opt.platform)
     seed_all(opt.seed)
     from vsrcic_tpu.utils.observability import MetricLogger
