@@ -81,3 +81,33 @@ def test_cli_train_data_parallel_smoke(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "val CIDEr" in out
     assert _ckpt_exists(os.path.join(ckpt_root, "coco_cap", "exp_last"))
+
+
+def test_cli_three_checkpoint_eval(tmp_path, capsys):
+    """The full S4 composition: captioner + S-SSP + Sinkhorn checkpoints
+    trained via their own CLIs (ref train.py / train_region_sort.py /
+    train_sinkhorn.py), then cli/eval.py loads ALL THREE and produces the
+    metric table (ref eval_coco.py:39-66 loads three .pth files)."""
+    from vsrcic_tpu.cli import eval as eval_cli
+    from vsrcic_tpu.cli import train as train_cli
+    from vsrcic_tpu.cli import train_region_sort, train_sinkhorn
+
+    ckpt_root = str(tmp_path / "saved")
+    train_cli.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
+                    "--max_epochs", "1"] + TINY)
+    train_region_sort.main(["--dataset", "coco", "--checkpoint_path",
+                            ckpt_root, "--max_steps", "2"] + TINY)
+    train_sinkhorn.main(["--dataset", "coco", "--checkpoint_path",
+                         ckpt_root, "--max_steps", "2"] + TINY)
+    capsys.readouterr()
+
+    cap = os.path.join(ckpt_root, "coco_cap", "exp_best")
+    ssp = os.path.join(ckpt_root, "coco_s_ssp", "model-tr")
+    sink = os.path.join(ckpt_root, "coco_sinkhorn", "model-sh")
+    for c in (cap, ssp, sink):
+        assert _ckpt_exists(c), c
+    cider = eval_cli.main(["--dataset", "coco", "--limit", "2",
+                           "--captioner_ckpt", cap, "--ssp_ckpt", ssp,
+                           "--sinkhorn_ckpt", sink] + TINY)
+    out = capsys.readouterr().out
+    assert "CIDEr" in out and isinstance(cider, float)

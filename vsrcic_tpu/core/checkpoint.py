@@ -54,8 +54,16 @@ def restore_checkpoint(path: str) -> Dict[str, Any]:
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
-        return ckptr.restore(path)
-    return _load_npz(path)
+        tree = ckptr.restore(path)
+    else:
+        tree = _load_npz(path)
+    # normalize leaves to device arrays: restored params must behave like
+    # initialized ones — a raw numpy leaf silently works until a jitted
+    # consumer indexes it BY a tracer (numpy intercepts __getitem__ and
+    # tries to concretize the index; caught by the 3-ckpt eval CLI test)
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
 def _flatten(tree, prefix=""):
