@@ -50,6 +50,7 @@ back to this module, labeling the row ``METEOR(native)``.
 """
 from __future__ import annotations
 
+import functools
 import gzip
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -66,6 +67,7 @@ W_PARA = 0.6
 _STEMMER = None
 
 
+@functools.lru_cache(maxsize=1 << 17)
 def _stem(word: str) -> str:
     global _STEMMER
     if _STEMMER is None:
