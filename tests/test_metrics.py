@@ -109,3 +109,23 @@ def test_verb_rank_merge_matches_reference():
 
 def test_dedup_join():
     assert dedup_join(["a", "a", "man", "man", "man", "runs"]) == "a man runs"
+
+
+def test_cider_pair_matches_two_calls():
+    """compute_score_pair must be bit-identical to two compute_score calls
+    (it exists only to cook the references once — the SCST reward path)."""
+    import numpy as np
+    from vsrcic_tpu.metrics.cider import Cider
+
+    rng = np.random.RandomState(1)
+    words = "a man dog rides red horse on the beach with".split()
+    def cap():
+        return " ".join(rng.choice(words, rng.randint(4, 9)))
+    gts = {i: [cap(), cap()] for i in range(20)}
+    a = {i: [cap()] for i in range(20)}
+    b = {i: [cap()] for i in range(20)}
+    for cider in (Cider(), Cider(gts=list(gts.values()))):
+        _, ra = cider.compute_score(gts, a)
+        _, rb = cider.compute_score(gts, b)
+        pa, pb = cider.compute_score_pair(gts, a, b)
+        assert np.array_equal(ra, pa) and np.array_equal(rb, pb)

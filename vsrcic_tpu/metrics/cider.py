@@ -71,14 +71,51 @@ class CiderScorer:
 
     def _sim(self, vec_h, vec_r, norm_h, norm_r, len_h, len_r):
         delta = float(len_h - len_r)
+        gauss = math.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
         val = np.zeros(self.n)
         for k in range(self.n):
-            for ngram, count in vec_h[k].items():
-                val[k] += min(vec_h[k][ngram], vec_r[k][ngram]) * vec_r[k][ngram]
+            vrk = vec_r[k]
+            acc = 0.0
+            for ngram, h in vec_h[k].items():
+                # .get avoids defaultdict insertion; a missing/zero ref
+                # term contributes exactly 0.0 — skipping it is value-exact
+                r = vrk.get(ngram, 0.0)
+                if r:
+                    acc += min(h, r) * r
             if norm_h[k] != 0 and norm_r[k] != 0:
-                val[k] /= norm_h[k] * norm_r[k]
-            val[k] *= math.e ** (-(delta ** 2) / (2 * self.sigma ** 2))
+                acc /= norm_h[k] * norm_r[k]
+            val[k] = acc * gauss
         return val
+
+    def _cook_gts(self, gts: Dict, keys):
+        """One pass over the references: per-ref ngram counts, the df (when
+        not precomputed), and each ref's tf-idf vector — shared by every
+        hypothesis set scored against these gts (compute/compute_pair)."""
+        ref_cnts = {k: [_ngram_counts(ref.split(), self.n)
+                        for ref in gts[k]] for k in keys}
+        if self.doc_frequency is None:
+            df = defaultdict(float)
+            for k in keys:
+                for ngram in set(ng for cnts in ref_cnts[k] for ng in cnts):
+                    df[ngram] += 1
+            ref_len = math.log(float(len(keys))) if keys else 0.0
+        else:
+            df, ref_len = self.doc_frequency, self.ref_len
+        ref_vecs = {k: [self._counts2vec(c, df, ref_len)
+                        for c in ref_cnts[k]] for k in keys}
+        return df, ref_len, ref_vecs
+
+    def _score_against(self, gts, res, keys, df, ref_len, ref_vecs):
+        scores = np.zeros(len(keys))
+        for i, k in enumerate(keys):
+            test = res[k][0] if isinstance(res[k], (list, tuple)) else res[k]
+            vec_h, norm_h, len_h = self._counts2vec(
+                cook_test(test, self.n), df, ref_len)
+            score = np.zeros(self.n)
+            for (vec_r, norm_r, len_r) in ref_vecs[k]:
+                score += self._sim(vec_h, vec_r, norm_h, norm_r, len_h, len_r)
+            scores[i] = np.mean(score / len(gts[k])) * 10.0
+        return scores
 
     def compute(self, gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
         """gts/res: {key: [caption strings]} (res: single-item lists).
@@ -86,28 +123,20 @@ class CiderScorer:
         Returns (corpus mean score, per-image scores).
         """
         keys = list(gts.keys())
-        if self.doc_frequency is None:
-            df = defaultdict(float)
-            for k in keys:
-                for ngram in set(ng for ref in gts[k]
-                                 for ng in _ngram_counts(ref.split(), self.n)):
-                    df[ngram] += 1
-            ref_len = math.log(float(len(keys)))
-        else:
-            df, ref_len = self.doc_frequency, self.ref_len
-
-        scores = np.zeros(len(keys))
-        for i, k in enumerate(keys):
-            test = res[k][0] if isinstance(res[k], (list, tuple)) else res[k]
-            vec_h, norm_h, len_h = self._counts2vec(
-                cook_test(test, self.n), df, ref_len)
-            score = np.zeros(self.n)
-            for ref in gts[k]:
-                vec_r, norm_r, len_r = self._counts2vec(
-                    _ngram_counts(ref.split(), self.n), df, ref_len)
-                score += self._sim(vec_h, vec_r, norm_h, norm_r, len_h, len_r)
-            scores[i] = np.mean(score / len(gts[k])) * 10.0
+        df, ref_len, ref_vecs = self._cook_gts(gts, keys)
+        scores = self._score_against(gts, res, keys, df, ref_len, ref_vecs)
         return float(np.mean(scores)) if keys else 0.0, scores
+
+    def compute_pair(self, gts: Dict, res_a: Dict, res_b: Dict):
+        """Score TWO hypothesis sets against the same gts, cooking the
+        references (df + tf-idf vectors) once — the SCST reward scores the
+        sampled and baseline decodes against identical GTs every step, and
+        ref cooking is ~half the reward's host time (ENGINEERING_NOTES).
+        Bit-identical to two compute() calls."""
+        keys = list(gts.keys())
+        df, ref_len, ref_vecs = self._cook_gts(gts, keys)
+        return (self._score_against(gts, res_a, keys, df, ref_len, ref_vecs),
+                self._score_against(gts, res_b, keys, df, ref_len, ref_vecs))
 
 
 class Cider:
@@ -132,3 +161,8 @@ class Cider:
                    for i, r in enumerate(res)}
         mean, per_image = self.scorer.compute(gts, res)
         return mean, per_image
+
+    def compute_score_pair(self, gts, res_a, res_b):
+        """Per-image scores for two hypothesis sets vs one gts, cooking the
+        references once (bit-identical to two compute_score calls)."""
+        return self.scorer.compute_pair(gts, res_a, res_b)
