@@ -111,3 +111,25 @@ def test_cli_three_checkpoint_eval(tmp_path, capsys):
                            "--sinkhorn_ckpt", sink] + TINY)
     out = capsys.readouterr().out
     assert "CIDEr" in out and isinstance(cider, float)
+
+
+def test_cli_eval_rebuilds_model_from_ckpt_cfg(tmp_path, capsys):
+    """Eval must not need re-matched dim flags: the checkpoint carries the
+    model hyperparams (the reference stores its argparse `opt` in the ckpt
+    and reads it back, ref eval_coco.py:39-40)."""
+    from vsrcic_tpu.cli import eval as eval_cli
+    from vsrcic_tpu.cli import train as train_cli
+
+    ckpt_root = str(tmp_path / "saved")
+    train_cli.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
+                    "--max_epochs", "1"] + TINY)
+    capsys.readouterr()
+    best = os.path.join(ckpt_root, "coco_cap", "exp_best")
+    # NOTE: no --rnn_size/--att_size/--input_encoding_size here — the CLI
+    # defaults are reference-size (1000/512); dims must come from the ckpt
+    cider = eval_cli.main(["--dataset", "coco", "--limit", "2",
+                           "--captioner_ckpt", best, "--synthetic",
+                           "--synthetic_images", "16", "--platform", "cpu",
+                           "--seed", "7", "--batch_size", "8"])
+    out = capsys.readouterr().out
+    assert "CIDEr" in out and isinstance(cider, float)

@@ -108,7 +108,20 @@ def main(argv=None):
             from vsrcic_tpu.utils import import_torch_state_dict
             cap_params = import_torch_state_dict(opt.captioner_ckpt)
         else:
-            cap_params = restore_checkpoint(opt.captioner_ckpt)["params"]
+            blob = restore_checkpoint(opt.captioner_ckpt)
+            cap_params = blob["params"]
+            if "cfg" in blob:
+                # rebuild the model with the hyperparams stored at train
+                # time instead of requiring re-matched CLI dim flags (the
+                # reference reads its `opt` back out of the checkpoint,
+                # eval_coco.py:39-40)
+                c = {k: (bool(v) if k.endswith("lstm") else int(v))
+                     for k, v in blob["cfg"].items()}
+                if c["vocab_size"] != len(tf.vocab):
+                    print("warning: checkpoint vocab_size %d != world "
+                          "vocab %d (decoding uses the world vocab)"
+                          % (c["vocab_size"], len(tf.vocab)))
+                cfg = CaptionerConfig(**c)
     import jax.numpy as jnp
     captioner = ControllableCaptioner(
         cfg, params=cap_params, key=jax.random.PRNGKey(opt.seed),

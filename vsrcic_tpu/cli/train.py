@@ -251,8 +251,21 @@ def main(argv=None):
                                                ptb_tokenize(gen))
         print("epoch %d val CIDEr %.4f" % (e, val_cider))
 
+        # persist the model hyperparams with the weights so eval can
+        # rebuild the model without re-matched CLI flags — the reference
+        # stores its argparse `opt` in the ckpt and eval_coco.py:39-40
+        # reads it back to reconstruct the captioner
+        cfg_blob = {"seq_len": np.asarray(cfg.seq_len),
+                    "vocab_size": np.asarray(cfg.vocab_size),
+                    "bos_idx": np.asarray(cfg.bos_idx),
+                    "det_feat_size": np.asarray(cfg.det_feat_size),
+                    "input_encoding_size": np.asarray(cfg.input_encoding_size),
+                    "rnn_size": np.asarray(cfg.rnn_size),
+                    "att_size": np.asarray(cfg.att_size),
+                    "h2_first_lstm": np.asarray(cfg.h2_first_lstm),
+                    "img_second_lstm": np.asarray(cfg.img_second_lstm)}
         stop = ckpt.step({"params": trainer.state.params,
-                          "step": np.asarray(step)},
+                          "step": np.asarray(step), "cfg": cfg_blob},
                          val_cider, e, patience_limit=opt.patience)
         if stop:
             print("patience ended.")

@@ -60,10 +60,16 @@ def restore_checkpoint(path: str) -> Dict[str, Any]:
     # normalize leaves to device arrays: restored params must behave like
     # initialized ones — a raw numpy leaf silently works until a jitted
     # consumer indexes it BY a tracer (numpy intercepts __getitem__ and
-    # tries to concretize the index; caught by the 3-ckpt eval CLI test)
+    # tries to concretize the index; caught by the 3-ckpt eval CLI test).
+    # Non-numeric leaves (e.g. strings in the saved cfg block) stay host.
     import jax
     import jax.numpy as jnp
-    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    def _to_device(x):
+        a = np.asarray(x)
+        return jnp.asarray(a) if a.dtype.kind in "biufc" else x
+
+    return jax.tree_util.tree_map(_to_device, tree)
 
 
 def _flatten(tree, prefix=""):
