@@ -223,4 +223,5 @@ def main():
 if __name__ == "__main__":
     from vsrcic_tpu.utils.retry import with_backend_retry
 
-    with_backend_retry(main, attempts=5, label="bench_pipeline")
+    with_backend_retry(main, attempts=5, label="bench_pipeline",
+                       probe_timeout=150.0)

@@ -54,4 +54,5 @@ def main():
 if __name__ == "__main__":
     from vsrcic_tpu.utils.retry import with_backend_retry
 
-    with_backend_retry(main, attempts=5, label="bench_scst")
+    with_backend_retry(main, attempts=5, label="bench_scst",
+                       probe_timeout=150.0)

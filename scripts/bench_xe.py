@@ -59,4 +59,5 @@ def main():
 if __name__ == "__main__":
     from vsrcic_tpu.utils.retry import with_backend_retry
 
-    with_backend_retry(main, attempts=5, label="bench_xe")
+    with_backend_retry(main, attempts=5, label="bench_xe",
+                       probe_timeout=150.0)

@@ -104,7 +104,8 @@ def probe_backend(timeout: float = 120.0) -> str:
 
 
 def with_backend_retry(fn: Callable[[], T], *, attempts: int = 5,
-                       base_delay: float = 5.0, label: str = "bench") -> T:
+                       base_delay: float = 5.0, label: str = "bench",
+                       probe_timeout: float | None = None) -> T:
     """Run ``fn`` with bounded retries on transient backend errors.
 
     ``fn`` must be safe to re-run from scratch: each retry clears jax's
@@ -112,10 +113,16 @@ def with_backend_retry(fn: Callable[[], T], *, attempts: int = 5,
     the attempt must rebuild its own inputs. Backoff doubles per retry
     (5, 10, 20, 40 s => ~75 s of sleep across 5 attempts, plus attempt
     time, staying within the ~3 minute budget).
+
+    probe_timeout: when set, probe backend init in a killable subprocess
+    before each attempt — without it a HUNG tunnel blocks ``fn`` forever
+    in-process (retries only help with errors, not hangs).
     """
     last: BaseException | None = None
     for i in range(attempts):
         try:
+            if probe_timeout is not None:
+                probe_backend(timeout=probe_timeout)
             return fn()
         except Exception as exc:  # noqa: BLE001 - filtered below
             if not is_transient_backend_error(exc) or i == attempts - 1:
