@@ -247,8 +247,25 @@ def main(argv=None):
                 gen[i] = [dedup_join(tf.decode(w, join_words=False))]
                 gts[i] = [c]
                 i += 1
-        val_cider, _ = cider_val.compute_score(ptb_tokenize(gts),
-                                               ptb_tokenize(gen))
+        # the reference prints the full metric table each validation
+        # epoch (train.py:207-219: Bleu_1..4, METEOR, ROUGE_L, CIDEr);
+        # best-ckpt selection stays on CIDEr (train.py:237-243)
+        gts_t, gen_t = ptb_tokenize(gts), ptb_tokenize(gen)
+        from vsrcic_tpu.metrics import (Bleu, ExternalMetricUnavailable,
+                                        Meteor, NativeMeteor, Rouge)
+        val_bleu, _ = Bleu(4).compute_score(gts_t, gen_t)
+        for name, score in zip(["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"],
+                               val_bleu):
+            print(name, score)
+        try:
+            val_meteor, _ = Meteor().compute_score(gts_t, gen_t)
+            print("METEOR", val_meteor)
+        except ExternalMetricUnavailable:
+            val_meteor, _ = NativeMeteor().compute_score(gts_t, gen_t)
+            print("METEOR(native)", val_meteor)
+        val_rouge, _ = Rouge().compute_score(gts_t, gen_t)
+        print("ROUGE_L", val_rouge)
+        val_cider, _ = cider_val.compute_score(gts_t, gen_t)
         print("epoch %d val CIDEr %.4f" % (e, val_cider))
 
         # persist the model hyperparams with the weights so eval can
