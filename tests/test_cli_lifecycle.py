@@ -133,3 +133,21 @@ def test_cli_eval_rebuilds_model_from_ckpt_cfg(tmp_path, capsys):
                            "--seed", "7", "--batch_size", "8"])
     out = capsys.readouterr().out
     assert "CIDEr" in out and isinstance(cider, float)
+
+
+def test_cli_planner_resume(tmp_path, capsys):
+    """--start_from on the planner CLIs restores params + epoch/step (ref
+    train_region_sort.py:96-109 infos resume; sinkhorn mirrors it)."""
+    from vsrcic_tpu.cli import train_region_sort, train_sinkhorn
+
+    ckpt_root = str(tmp_path / "saved")
+    for mod, sub in ((train_region_sort, "coco_s_ssp"),
+                     (train_sinkhorn, "coco_sinkhorn")):
+        mod.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
+                  "--max_steps", "2"] + TINY)
+        capsys.readouterr()
+        mod.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
+                  "--max_steps", "4",
+                  "--start_from", os.path.join(ckpt_root, sub)] + TINY)
+        out = capsys.readouterr().out
+        assert "resumed" in out, (sub, out[:500])

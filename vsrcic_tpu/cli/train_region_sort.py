@@ -48,10 +48,29 @@ def main(argv=None):
 
     cfg = SSPConfig(dataset=opt.dataset)
     params = init_ssp_params(jax.random.PRNGKey(opt.seed), cfg)
+
+    # --start_from resume (ref train_region_sort.py:96-109 restores
+    # model + infos{epoch, iter}; its model-best branch is dead code —
+    # nothing in the script ever writes model-best.pth — so --load_best
+    # resolves to the same single saved file here)
+    step, start_epoch = 0, 0
+    if opt.start_from:
+        import os
+        from vsrcic_tpu.core.checkpoint import restore_checkpoint
+        path = opt.start_from
+        cand = os.path.join(path, "model-tr")   # dir form, like the ref
+        if os.path.isdir(cand) or os.path.isfile(cand + ".npz"):
+            path = cand
+        blob = restore_checkpoint(path)
+        params = blob["params"]
+        step = int(blob.get("step", 0))
+        start_epoch = int(blob.get("epoch", -1)) + 1
+        print("resumed S-SSP from %s (epoch %d, step %d)"
+              % (path, start_epoch - 1, step))
+
     trainer = SSPTrainer(cfg, params, lr=opt.learning_rate)
 
-    step = 0
-    for e in range(opt.max_epochs):
+    for e in range(start_epoch, opt.max_epochs):
         if e == opt.stop_epoch:
             break
         trainer.set_lr(planner_lr(opt.learning_rate, e,

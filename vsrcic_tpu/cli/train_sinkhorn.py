@@ -51,12 +51,29 @@ def main(argv=None):
 
     cfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1)
     params = init_sinkhorn_params(jax.random.PRNGKey(opt.seed), cfg)
+
+    # --start_from resume (same semantics as train_region_sort; ref
+    # train_sinkhorn.py mirrors the region-sort script's restore block)
+    step, start_epoch = 0, 0
+    if opt.start_from:
+        import os
+        from vsrcic_tpu.core.checkpoint import restore_checkpoint
+        path = opt.start_from
+        cand = os.path.join(path, "model-sh")   # dir form, like the ref
+        if os.path.isdir(cand) or os.path.isfile(cand + ".npz"):
+            path = cand
+        blob = restore_checkpoint(path)
+        params = blob["params"]
+        step = int(blob.get("step", 0))
+        start_epoch = int(blob.get("epoch", -1)) + 1
+        print("resumed Sinkhorn from %s (epoch %d, step %d)"
+              % (path, start_epoch - 1, step))
+
     norm = "images" if opt.dataset == "coco" else "pairs"
     trainer = SinkhornTrainer(cfg, params, lr=opt.learning_rate,
                               loss_normalization=norm)
 
-    step = 0
-    for e in range(opt.max_epochs):
+    for e in range(start_epoch, opt.max_epochs):
         if e == opt.stop_epoch:
             break
         trainer.set_lr(planner_lr(opt.learning_rate, e,
