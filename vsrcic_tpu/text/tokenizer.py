@@ -14,6 +14,7 @@ corpus that exercises the standard rules.
 """
 from __future__ import annotations
 
+import functools
 import re
 from typing import Dict, List, Sequence, Union
 
@@ -73,6 +74,20 @@ def ptb_word_tokenize(text: str) -> List[str]:
     return text.split()
 
 
+@functools.lru_cache(maxsize=1 << 17)
+def tok_one(s: str) -> str:
+    # jar pipeline parity: the Stanford call tokenizes the ORIGINAL
+    # text and lowercases the emitted tokens (-lowerCase), so bracket
+    # tokens come out as "-lrb-"/"-rrb-" — which the coco-caption
+    # PUNCTUATIONS membership test (uppercase "-LRB-") then FAILS to
+    # drop. Lowercase after tokenization, not before, to reproduce
+    # exactly that kept-bracket-token quirk (tests/test_ptb_golden.py).
+    # Cached: the SCST reward re-tokenizes the same GT strings every
+    # epoch (and model decodes repeat heavily) — str -> str, pure.
+    words = (w.lower() for w in ptb_word_tokenize(s))
+    return " ".join(w for w in words if w not in _PUNCT_SET)
+
+
 def ptb_tokenize(captions: Union[Dict, Sequence]):
     """coco-caption PTBTokenizer.tokenize parity: tokenize the original
     text, lowercase the tokens, drop punctuation tokens, join with spaces.
@@ -84,16 +99,6 @@ def ptb_tokenize(captions: Union[Dict, Sequence]):
     sequence of caption-lists / strings with the same nesting preserved
     (speaksee also accepts list-of-lists).
     """
-    def tok_one(s: str) -> str:
-        # jar pipeline parity: the Stanford call tokenizes the ORIGINAL
-        # text and lowercases the emitted tokens (-lowerCase), so bracket
-        # tokens come out as "-lrb-"/"-rrb-" — which the coco-caption
-        # PUNCTUATIONS membership test (uppercase "-LRB-") then FAILS to
-        # drop. Lowercase after tokenization, not before, to reproduce
-        # exactly that kept-bracket-token quirk (tests/test_ptb_golden.py).
-        words = (w.lower() for w in ptb_word_tokenize(s))
-        return " ".join(w for w in words if w not in _PUNCT_SET)
-
     if isinstance(captions, dict):
         return {k: [tok_one(c) for c in v] for k, v in captions.items()}
     out = []
