@@ -129,3 +129,24 @@ def test_cider_pair_matches_two_calls():
         _, rb = cider.compute_score(gts, b)
         pa, pb = cider.compute_score_pair(gts, a, b)
         assert np.array_equal(ra, pa) and np.array_equal(rb, pb)
+
+
+def test_cider_ref_vec_cache_is_value_exact():
+    """Corpus-df mode memoizes ref vectors across calls; a warm cache must
+    produce bit-identical scores to a fresh scorer (SCST rescores the same
+    GTs every epoch)."""
+    import numpy as np
+    from vsrcic_tpu.metrics.cider import Cider
+
+    rng = np.random.RandomState(2)
+    words = "a man dog rides red horse on the beach with".split()
+    def cap():
+        return " ".join(rng.choice(words, rng.randint(4, 9)))
+    gts = {i: [cap(), cap()] for i in range(16)}
+    hyps = [{i: [cap()] for i in range(16)} for _ in range(3)]
+    warm = Cider(gts=list(gts.values()))
+    outs_warm = [warm.compute_score(gts, h)[1] for h in hyps]   # reuse cache
+    for h, w in zip(hyps, outs_warm):
+        fresh = Cider(gts=list(gts.values()))
+        _, f = fresh.compute_score(gts, h)
+        assert np.array_equal(f, w)

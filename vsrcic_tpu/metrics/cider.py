@@ -44,11 +44,13 @@ class CiderScorer:
         self.sigma = sigma
         self.doc_frequency: Optional[Dict[Tuple, float]] = None
         self.ref_len: Optional[float] = None
+        self._ref_vec_cache: Dict[str, tuple] = {}
         if df_corpus is not None:
             self.precompute_df(df_corpus)
 
     def precompute_df(self, refs_per_image: Sequence[Sequence[str]]):
         """refs_per_image: list (per image) of reference caption strings."""
+        self._ref_vec_cache = {}   # vectors depend on df — invalidate
         self.doc_frequency = defaultdict(float)
         for refs in refs_per_image:
             for ngram in set(ng for ref in refs
@@ -90,17 +92,34 @@ class CiderScorer:
     def _cook_gts(self, gts: Dict, keys):
         """One pass over the references: per-ref ngram counts, the df (when
         not precomputed), and each ref's tf-idf vector — shared by every
-        hypothesis set scored against these gts (compute/compute_pair)."""
+        hypothesis set scored against these gts (compute/compute_pair).
+
+        With a PRECOMPUTED df (the corpus-df mode the SCST reward uses,
+        ref train.py:67) a ref string's vector is a pure function of the
+        string, so it is memoized across calls — the RL loop rescores the
+        same GT captions every epoch."""
+        if self.doc_frequency is not None:
+            df, ref_len = self.doc_frequency, self.ref_len
+            cache = self._ref_vec_cache
+            ref_vecs = {}
+            for k in keys:
+                out = []
+                for ref in gts[k]:
+                    v = cache.get(ref)
+                    if v is None:
+                        v = self._counts2vec(
+                            _ngram_counts(ref.split(), self.n), df, ref_len)
+                        cache[ref] = v
+                    out.append(v)
+                ref_vecs[k] = out
+            return df, ref_len, ref_vecs
         ref_cnts = {k: [_ngram_counts(ref.split(), self.n)
                         for ref in gts[k]] for k in keys}
-        if self.doc_frequency is None:
-            df = defaultdict(float)
-            for k in keys:
-                for ngram in set(ng for cnts in ref_cnts[k] for ng in cnts):
-                    df[ngram] += 1
-            ref_len = math.log(float(len(keys))) if keys else 0.0
-        else:
-            df, ref_len = self.doc_frequency, self.ref_len
+        df = defaultdict(float)
+        for k in keys:
+            for ngram in set(ng for cnts in ref_cnts[k] for ng in cnts):
+                df[ngram] += 1
+        ref_len = math.log(float(len(keys))) if keys else 0.0
         ref_vecs = {k: [self._counts2vec(c, df, ref_len)
                         for c in ref_cnts[k]] for k in keys}
         return df, ref_len, ref_vecs
