@@ -238,6 +238,8 @@ class NativeMeteor:
             sc = _score_from_stats(*st, len(h), len(r))
             if best is None or sc > best[0]:
                 best = (sc, st + (len(h), len(r)))
+        if best is None:                      # no references for this key
+            best = (0.0, (0, 0, 0.0, 0.0, 0, len(h), 0))
         return best
 
     def compute_score(self, gts: Dict, res: Dict):
