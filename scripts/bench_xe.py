@@ -36,8 +36,11 @@ def main():
     import os
     batches = tuple(int(x) for x in os.environ.get(
         "VSRCIC_XE_BATCHES", "100,256,512").split(","))
+    # VSRCIC_XE_LEAN=0 A/Bs the expand-once dense-residual loss against
+    # the default rematted scan (same values; see xe_loss_fn)
+    lean = bool(int(os.environ.get("VSRCIC_XE_LEAN", "1")))
     for B in (batches if on_tpu else (4,)):
-        tr = CaptionerXETrainer(cfg, params, lr=5e-4)
+        tr = CaptionerXETrainer(cfg, params, lr=5e-4, lean=lean)
         rng = np.random.RandomState(0)
         dets = jnp.asarray(rng.rand(B, 100, D).astype(np.float32))
         caps = jnp.asarray(rng.randint(0, V, size=(B, 20)).astype(np.int32))

@@ -67,7 +67,13 @@ def main():
     from vsrcic_tpu.cli import eval as eval_cli
     from vsrcic_tpu.cli import train as train_cli
 
-    plat = args.platform or "auto"
+    if args.platform:
+        on_tpu = args.platform != "cpu"
+    else:
+        # resolve the real backend so the TPU re-run includes --fused
+        # (probe is hang-safe; a dead tunnel fails fast with a diagnostic)
+        from vsrcic_tpu.utils.retry import probe_backend
+        on_tpu = probe_backend(timeout=150.0) != "cpu"
     tiny = ["--synthetic", "--synthetic_images", str(args.images),
             "--batch_size", "16", "--seed", "7",
             "--rnn_size", str(args.rnn_size), "--att_size", "16",
@@ -84,8 +90,7 @@ def main():
         dumps = {}
         for name, knobs in (("strict", []),
                             ("fast", ["--bf16_tables", "--vocab_topk"]
-                             + (["--fused"] if plat not in ("cpu", "auto")
-                                else []))):
+                             + (["--fused"] if on_tpu else []))):
             dump = os.path.join(td, name + ".jsonl")
             eval_cli.main(["--dataset", "coco", "--captioner_ckpt", best,
                            "--dump_preds", dump] + knobs + tiny)

@@ -87,6 +87,8 @@ def test_probe_backend_dead_relay_is_permanent(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     monkeypatch.setattr(retry_mod, "relay_alive", lambda: False)
+    import os.path
+    monkeypatch.setattr(os.path, "exists", lambda p: True)  # relay host
     with pytest.raises(RuntimeError) as ei:
         retry_mod.probe_backend(timeout=0.01)
     assert not is_transient_backend_error(ei.value)

@@ -16,6 +16,18 @@ from typing import Any, Optional
 import numpy as np
 
 
+def ensure_virtual_devices(n: int, platform: Optional[str]):
+    """Provision n virtual CPU devices for a --data_parallel mesh on a CPU
+    host (must run before backend init; no-op unless platform == 'cpu').
+    Shared by the train and eval CLIs."""
+    if not n or platform != "cpu":
+        return
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=%d" % n)
+    os.environ["XLA_FLAGS"] = " ".join(flags)
+
+
 def force_platform(platform: Optional[str]):
     """Select the JAX platform in-process (env vars are preempted by the
     environment's sitecustomize — see .claude/skills/verify)."""

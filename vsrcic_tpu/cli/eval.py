@@ -11,7 +11,8 @@ import time
 
 import numpy as np
 
-from vsrcic_tpu.cli.common import (base_parser, build_world, force_platform,
+from vsrcic_tpu.cli.common import (base_parser, build_world,
+                                   ensure_virtual_devices, force_platform,
                                    seed_all)
 from vsrcic_tpu.cli.fields import (make_eval_det_field, make_image_field,
                                    unpack_eval_output)
@@ -49,14 +50,7 @@ def main(argv=None):
                    "real-data parity runbook, docs/MIGRATION.md)")
     opt = p.parse_args(argv)
     print(opt)
-    if opt.data_parallel and opt.platform == "cpu":
-        # virtual CPU devices for the mesh (must precede backend init)
-        import os
-        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
-                 if "xla_force_host_platform_device_count" not in f]
-        flags.append("--xla_force_host_platform_device_count=%d"
-                     % opt.data_parallel)
-        os.environ["XLA_FLAGS"] = " ".join(flags)
+    ensure_virtual_devices(opt.data_parallel, opt.platform)
     force_platform(opt.platform)
     seed_all(opt.seed)
 
@@ -118,9 +112,14 @@ def main(argv=None):
                 c = {k: (bool(v) if k.endswith("lstm") else int(v))
                      for k, v in blob["cfg"].items()}
                 if c["vocab_size"] != len(tf.vocab):
-                    print("warning: checkpoint vocab_size %d != world "
-                          "vocab %d (decoding uses the world vocab)"
-                          % (c["vocab_size"], len(tf.vocab)))
+                    # a mismatched vocab can't decode meaningfully (and a
+                    # larger ckpt vocab would index past the world's itos)
+                    raise SystemExit(
+                        "checkpoint vocab_size %d != world vocab %d — the "
+                        "checkpoint was trained against a different "
+                        "vocabulary; point --coco_root/--flickr_root (or "
+                        "--synthetic_images/seed) at the matching world"
+                        % (c["vocab_size"], len(tf.vocab)))
                 cfg = CaptionerConfig(**c)
     import jax.numpy as jnp
     captioner = ControllableCaptioner(
@@ -220,8 +219,11 @@ def main(argv=None):
         # no meteor-1.5.jar configured: native METEOR (exact+stem stages,
         # jar-identical formulas/parameters — metrics/meteor.py docstring
         # records the resource-level divergences)
-        val_meteor, _ = NativeMeteor().compute_score(gts_t, gen_t)
-        print("METEOR(native)", val_meteor)
+        try:
+            val_meteor, _ = NativeMeteor().compute_score(gts_t, gen_t)
+            print("METEOR(native)", val_meteor)
+        except ImportError as err:   # nltk stemmer missing on this host
+            print("METEOR unavailable: %s" % err)
     try:
         val_spice, _ = Spice().compute_score(gts_t, gen_t)
         print("SPICE", val_spice)

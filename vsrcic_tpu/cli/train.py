@@ -11,7 +11,8 @@ import time
 import numpy as np
 
 from vsrcic_tpu.cli.common import (base_parser, build_world,
-                                   force_platform, seed_all)
+                                   ensure_virtual_devices, force_platform,
+                                   seed_all)
 
 
 def main(argv=None):
@@ -43,16 +44,7 @@ def main(argv=None):
     # pretrained) — here the same XE/SCST trainers run on Flickr entities
     # via FlickrControlSequenceField (entity-IoU region groups)
     print(opt)
-    if opt.data_parallel and opt.platform == "cpu":
-        # virtual CPU devices for the mesh (must precede backend init);
-        # same treatment as cli/eval.py — without it --data_parallel on a
-        # CPU host sees a single device and make_mesh fails
-        import os
-        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
-                 if "xla_force_host_platform_device_count" not in f]
-        flags.append("--xla_force_host_platform_device_count=%d"
-                     % opt.data_parallel)
-        os.environ["XLA_FLAGS"] = " ".join(flags)
+    ensure_virtual_devices(opt.data_parallel, opt.platform)
     force_platform(opt.platform)
     seed_all(opt.seed)
     from vsrcic_tpu.utils.observability import MetricLogger
@@ -261,8 +253,11 @@ def main(argv=None):
             val_meteor, _ = Meteor().compute_score(gts_t, gen_t)
             print("METEOR", val_meteor)
         except ExternalMetricUnavailable:
-            val_meteor, _ = NativeMeteor().compute_score(gts_t, gen_t)
-            print("METEOR(native)", val_meteor)
+            try:
+                val_meteor, _ = NativeMeteor().compute_score(gts_t, gen_t)
+                print("METEOR(native)", val_meteor)
+            except ImportError as err:   # nltk missing: don't kill training
+                print("METEOR unavailable: %s" % err)
         val_rouge, _ = Rouge().compute_score(gts_t, gen_t)
         print("ROUGE_L", val_rouge)
         val_cider, _ = cider_val.compute_score(gts_t, gen_t)

@@ -101,6 +101,8 @@ class CiderScorer:
         if self.doc_frequency is not None:
             df, ref_len = self.doc_frequency, self.ref_len
             cache = self._ref_vec_cache
+            if len(cache) > (1 << 21):   # bound: ~2M refs ≫ any corpus here
+                cache.clear()
             ref_vecs = {}
             for k in keys:
                 out = []
@@ -184,4 +186,11 @@ class Cider:
     def compute_score_pair(self, gts, res_a, res_b):
         """Per-image scores for two hypothesis sets vs one gts, cooking the
         references once (bit-identical to two compute_score calls)."""
+        if not isinstance(gts, dict):   # same normalization as compute_score
+            gts = {i: (g if isinstance(g, (list, tuple)) else [g])
+                   for i, g in enumerate(gts)}
+            res_a = {i: (r if isinstance(r, (list, tuple)) else [r])
+                     for i, r in enumerate(res_a)}
+            res_b = {i: (r if isinstance(r, (list, tuple)) else [r])
+                     for i, r in enumerate(res_b)}
         return self.scorer.compute_pair(gts, res_a, res_b)

@@ -135,7 +135,7 @@ def _phrase_spans(words: Sequence[str], used: List[bool],
 
 def _align(hyp: List[str], ref: List[str],
            para: Optional[Dict[Tuple[str, ...], set]]):
-    """Align hyp/ref; returns (pairs, m_hyp, m_ref, wm_hyp, wm_ref, chunks).
+    """Align hyp/ref; returns (m_hyp, m_ref, wm_hyp, wm_ref, chunks).
 
     pairs are (hyp_pos, ref_pos, weight) unigram links; phrase (paraphrase)
     matches contribute one link per covered word so chunk computation sees
@@ -221,9 +221,14 @@ def _score_from_stats(m_hyp, m_ref, wm_hyp, wm_ref, chunks,
 
 
 class NativeMeteor:
-    """METEOR scorer, speaksee-compatible API (compute_score(gts, res))."""
+    """METEOR scorer, speaksee-compatible API (compute_score(gts, res)).
+
+    Raises ImportError at construction when nltk (the Snowball stemmer)
+    is unavailable, so CLI fallbacks can degrade to an explicit
+    'unavailable' row instead of crashing mid-epoch."""
 
     def __init__(self, paraphrase_table: Optional[str] = None):
+        _stem("initialization")   # fail fast if nltk is missing
         path = paraphrase_table or os.environ.get("VSRCIC_METEOR_PARAPHRASES")
         self.para = (load_paraphrase_table(path)
                      if path and os.path.isfile(path) else None)

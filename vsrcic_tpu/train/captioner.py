@@ -35,19 +35,25 @@ from vsrcic_tpu.text.tokenizer import ptb_tokenize
 
 
 def xe_loss_fn(params, cfg: CaptionerConfig, detections, captions,
-               ctrl_det_seqs, gate_targets):
+               ctrl_det_seqs, gate_targets, lean: bool = True):
     """ref train.py:103-110 (word loss shifted; gate loss unshifted,
     weighted 4x, padding ignored via index -1).
 
     ctrl_det_seqs: dense (B, T, M, D) float groups OR compact (B, T, M) int
-    group indices. Compact ids take the memory-lean path (per-step
-    expansion under jax.checkpoint, `_xe_loss_compact`): the backward pass
-    at batch 1024 otherwise keeps the expanded (T, B, M, D) group tensors
-    as residuals and OOMs HBM (20.4 G > 15.75 G, docs/ENGINEERING_NOTES).
+    group indices. Compact ids take the memory-lean path by default
+    (per-step expansion under jax.checkpoint, `_xe_loss_compact`): the
+    backward pass at batch 1024 otherwise keeps the expanded (T, B, M, D)
+    group tensors as residuals and OOMs HBM (20.4 G > 15.75 G,
+    docs/ENGINEERING_NOTES). lean=False restores the expand-once dense
+    path (more residual memory, no recompute — the call for small-batch
+    jobs where HBM is not the constraint).
     """
     if jnp.issubdtype(ctrl_det_seqs.dtype, jnp.integer):
-        return _xe_loss_compact(params, cfg, detections, captions,
-                                ctrl_det_seqs, gate_targets)
+        if lean:
+            return _xe_loss_compact(params, cfg, detections, captions,
+                                    ctrl_det_seqs, gate_targets)
+        from vsrcic_tpu.decode.loops import expand_compact_groups
+        ctrl_det_seqs = expand_compact_groups(detections, ctrl_det_seqs)
     word_logp, gate_logp = forward_teacher_forcing(
         params, cfg, detections, captions, ctrl_det_seqs)
     loss_cap = nll_loss(word_logp[:, :-1], captions[:, 1:])
@@ -118,7 +124,10 @@ def _xe_loss_compact(params, cfg: CaptionerConfig, detections, captions,
 
 class CaptionerXETrainer:
     def __init__(self, cfg: CaptionerConfig, params, lr: float = 5e-4,
-                 mesh=None):
+                 mesh=None, lean: bool = True):
+        """lean: compact-id batches use the rematted per-step scan loss
+        (required for batch 1024+ on one chip; see xe_loss_fn). lean=False
+        keeps the expand-once dense-residual loss for small batches."""
         self.cfg = cfg
         self.tx = adam(lr)
         self.state = init_train_state(params, self.tx)
@@ -129,7 +138,7 @@ class CaptionerXETrainer:
             (loss, (lc, lg)), grads = jax.value_and_grad(
                 xe_loss_fn, has_aux=True)(
                 state.params, cfg, detections, captions, ctrl_det_seqs,
-                gate_targets)
+                gate_targets, lean=lean)
             state = apply_grads(self.tx, state, grads)
             return state, loss, lc, lg
 

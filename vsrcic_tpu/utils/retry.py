@@ -8,8 +8,12 @@ data staging + compile + run) after clearing jax's cached backend state,
 with exponential backoff bounded to ~3 minutes total.
 
 It retries only *exceptions* that look like transient init failures.
-A hung tunnel (calls that never return) is a different failure mode that
-retrying cannot fix and is deliberately out of scope here.
+Hung tunnels (calls that never return) are handled by ``probe_backend``:
+init is probed in a killable subprocess, a timeout with the relay process
+still alive is classified transient (retryable), and a timeout with the
+relay gone (``relay_alive``) fails permanently — nothing inside the VM
+can restart a dead relay. Pass ``probe_timeout=`` to ``with_backend_retry``
+to probe before each attempt.
 """
 from __future__ import annotations
 
@@ -84,7 +88,11 @@ def probe_backend(timeout: float = 120.0) -> str:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
-        if not relay_alive():
+        import os
+        # the dead-relay (permanent) classification only applies on hosts
+        # that actually use the relay — elsewhere a probe timeout is just
+        # a slow init and stays retryable
+        if os.path.exists("/root/.tpu_init.py") and not relay_alive():
             # relay process gone: every client hangs and nothing inside
             # this VM can restart it — fail fast and permanently (NOT
             # transient-classified, so with_backend_retry won't burn
