@@ -254,3 +254,35 @@ def test_sharded_eval_pipeline_matches_single():
                            eos_word=3, beam_size=2, mesh=mesh)
     words_sharded = sharded.run_batch(dets, jobs)
     np.testing.assert_array_equal(words_single, np.asarray(words_sharded))
+
+
+def test_data_parallel_training_matches_single_compact():
+    """The PRODUCTION XE wire format (compact int group ids -> the
+    rematted per-step scan loss, train/captioner.py _xe_loss_compact)
+    sharded over the mesh must match single-device losses and params —
+    the dense-ctrl test above covers the other loss path."""
+    cfg = CaptionerConfig(seq_len=6, vocab_size=30, bos_idx=2,
+                          det_feat_size=D, input_encoding_size=12,
+                          rnn_size=10, att_size=8)
+    params = init_captioner_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(2)
+    batch = (rng.rand(B, 5, D).astype(np.float32),
+             rng.randint(0, 30, size=(B, 6)).astype(np.int32),
+             rng.randint(-1, 5, size=(B, 6, M)).astype(np.int32),
+             rng.randint(0, 2, size=(B, 6)).astype(np.int32))
+
+    tr1 = CaptionerXETrainer(cfg, params, lr=1e-3)
+    losses1 = [tr1.step(*batch)[0] for _ in range(3)]
+
+    mesh = make_mesh(n_data=8)
+    tr8 = CaptionerXETrainer(cfg, replicate(params, mesh), lr=1e-3,
+                             mesh=mesh)
+    sb = shard_batch(batch, mesh)
+    losses8 = [tr8.step(*sb)[0] for _ in range(3)]
+
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-5)
+    p1 = jax.tree.leaves(tr1.state.params)
+    p8 = jax.tree.leaves(tr8.state.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
