@@ -140,3 +140,27 @@ def test_dataloader_num_workers_same_batches(syn):
     for (a_img, a_txt), (b_img, b_txt) in zip(b0, b4):
         np.testing.assert_array_equal(a_img[0], b_img[0])
         assert list(a_txt) == list(b_txt)
+
+
+def test_synthetic_worlds_have_ambiguous_sr_pairs():
+    """The synthetic backends must include repeated-SR captions ("a X and
+    a Y verbs a Z") so Sinkhorn training and eval re-ranking actually
+    execute — without them every batch's pair extraction returned None
+    and Sinkhorn training was a silent no-op (caught in round 4)."""
+    from vsrcic_tpu.data.synthetic_flickr import SyntheticFlickr
+    from vsrcic_tpu.pipelines.sr_groups import extract_verb_groups
+
+    syn = SyntheticCOCO(n_images=9, n_val=2, n_test=2, seed=0)
+    n_rerank = 0
+    for key, caps in syn.idx_2_vs.items():
+        for cap, vs in caps.items():
+            srs = [s[0] for s in vs["sr"]]
+            if len(srs) != len(set(srs)):
+                n_rerank += 1
+    assert n_rerank >= 3   # every 3rd image
+
+    synf = SyntheticFlickr(n_images=9, n_val=2, n_test=2, seed=0)
+    n_rerank_f = sum(
+        1 for caps in synf.idx_2_vs.values() for vs in caps.values()
+        if len([s[0] for s in vs["sr"]]) != len({s[0] for s in vs["sr"]}))
+    assert n_rerank_f >= 3

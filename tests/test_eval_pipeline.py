@@ -39,7 +39,9 @@ def world():
         verb_2_vob_all=syn.verb_2_vob_all(tf))
     ssp_cfg = SSPConfig(hidden_size=32, embed_size=32)
     ssp_params = init_ssp_params(jax.random.PRNGKey(1), ssp_cfg)
-    kcfg = SinkhornConfig()
+    # vis slice must match the world's det feature width (the 2352-d
+    # reference layout is txt 300 | vis 2048 | pos 4; here vis=FEAT)
+    kcfg = SinkhornConfig(vis_dim=FEAT)
     kparams = init_sinkhorn_params(jax.random.PRNGKey(2), kcfg)
     return syn, tf, captioner, ssp_cfg, ssp_params, kcfg, kparams
 
@@ -115,18 +117,10 @@ def test_pipeline_with_shared_sr_regions(world):
     job.det_seqs_sr[1, 0] = 2.0
     job.det_seqs_sr[2, 0] = 7.0
 
-    kcfg_feat = SinkhornConfig()
-    pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg_feat,
+    # the sinkhorn net is config-dim-driven (vis_dim=FEAT in the fixture),
+    # so the reduced-width world needs no 2048 padding anymore
+    pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg,
                         eos_word=tf.eos_idx, beam_size=2)
-    # sinkhorn input dim must be vis+txt+pos = FEAT+300+4; net expects 2352 —
-    # pad the visual features up to 2048
-    pad = 2048 - FEAT
-    job = CaptionJob(
-        seqs_vis=np.concatenate(
-            [job.seqs_vis, np.zeros((L, pad), np.float32)], -1),
-        seqs_txt=job.seqs_txt, seqs_pos=job.seqs_pos, seqs_all=job.seqs_all,
-        control_verb=job.control_verb, det_seqs_v=job.det_seqs_v,
-        det_seqs_sr=job.det_seqs_sr, verb_list=job.verb_list)
     recons, vls = pipe.plan_batch([job])
     # all three region groups must appear (permuted) in the recons
     assert (np.sum(recons[0], (1, 2)) != 0).sum() == L  # tail filled w/ last

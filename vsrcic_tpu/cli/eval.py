@@ -144,7 +144,8 @@ def main(argv=None):
         ssp_params = init_ssp_params(jax.random.PRNGKey(opt.seed + 1),
                                      ssp_cfg)
 
-    kcfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1)
+    kcfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1,
+                          vis_dim=opt.feat_dim)
     if opt.sinkhorn_ckpt:
         if opt.sinkhorn_ckpt.endswith(".pth"):
             from vsrcic_tpu.utils import import_torch_state_dict

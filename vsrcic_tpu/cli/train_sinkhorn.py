@@ -49,7 +49,8 @@ def main(argv=None):
     loader = DataLoader(ds, batch_size=opt.batch_size,
                         num_workers=opt.nb_workers)
 
-    cfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1)
+    cfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1,
+                         vis_dim=opt.feat_dim)
     params = init_sinkhorn_params(jax.random.PRNGKey(opt.seed), cfg)
 
     # --start_from resume (same semantics as train_region_sort; ref

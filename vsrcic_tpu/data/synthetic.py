@@ -93,33 +93,64 @@ class SyntheticCOCO:
             key = str(img_id)
             image = "images/COCO_synth_%012d.jpg" % img_id
             self.img_shapes[key] = [640, 480]
-            c1, c2 = rng.choice(n_classes, 2, replace=False)
             verb = self.verbs[rng.randint(n_verbs)]
             verb_og = verb + "s"
-            cls1, cls2 = self.class_names[c1], self.class_names[c2]
-            caption = "a %s %s a %s" % (cls1, verb_og, cls2)
-            image_classes[key] = [c1 + 1, c2 + 1]
-
-            self.entities.setdefault(key, {})[caption] = [
-                ["a %s" % cls1, cls1], ["a %s" % cls2, cls2]]
-            # classes-only control sequence (D7 schema)
-            self.cap_2_classes.setdefault(key, {})[caption] = [cls1, cls2]
-            self.idx_2_vs.setdefault(key, {})[caption] = {
-                "verb": [[verb], [verb]],
-                "sr": [["ARG0"], ["ARG1"]]}
+            if i % 3 == 2:
+                # every 3rd image: TWO entities share ARG0 ("a X and a Y
+                # verbs a Z") — the repeated-SR (need_re_rank) case real
+                # entities data has; without it Sinkhorn training/eval
+                # re-ranking silently never fires on the synthetic backend
+                c1, c1b, c2 = rng.choice(n_classes, 3, replace=False)
+                cls1, cls1b, cls2 = (self.class_names[c1],
+                                     self.class_names[c1b],
+                                     self.class_names[c2])
+                caption = "a %s and a %s %s a %s" % (cls1, cls1b, verb_og,
+                                                     cls2)
+                image_classes[key] = [c1 + 1, c1b + 1, c2 + 1]
+                self.entities.setdefault(key, {})[caption] = [
+                    ["a %s" % cls1, cls1], ["a %s" % cls1b, cls1b],
+                    ["a %s" % cls2, cls2]]
+                self.cap_2_classes.setdefault(key, {})[caption] = \
+                    [cls1, cls1b, cls2]
+                self.idx_2_vs.setdefault(key, {})[caption] = {
+                    "verb": [[verb], [verb], [verb]],
+                    "sr": [["ARG0"], ["ARG0"], ["ARG1"]]}
+                self.cap_2_classes_v.setdefault(key, {})[caption] = \
+                    [cls1, cls1b, "verb", cls2]
+                self.idx_2_vs_v.setdefault(key, {})[caption] = {
+                    "verb": [[verb]] * 4,
+                    "sr": [["ARG0"], ["ARG0"], ["V"], ["ARG1"]]}
+                self.idx_2_v_og.setdefault(key, {})[caption] = \
+                    [[verb_og]] * 4
+                self.img_cap_v_2_class_self.setdefault(key, {})[caption] = {
+                    verb: {"ARG0": [int(c1 + 1), int(c1b + 1)],
+                           "ARG1": [int(c2 + 1)]}}
+            else:
+                c1, c2 = rng.choice(n_classes, 2, replace=False)
+                cls1, cls2 = self.class_names[c1], self.class_names[c2]
+                caption = "a %s %s a %s" % (cls1, verb_og, cls2)
+                image_classes[key] = [c1 + 1, c2 + 1]
+                self.entities.setdefault(key, {})[caption] = [
+                    ["a %s" % cls1, cls1], ["a %s" % cls2, cls2]]
+                # classes-only control sequence (D7 schema)
+                self.cap_2_classes.setdefault(key, {})[caption] = \
+                    [cls1, cls2]
+                self.idx_2_vs.setdefault(key, {})[caption] = {
+                    "verb": [[verb], [verb]],
+                    "sr": [["ARG0"], ["ARG1"]]}
+                # verb-slot variants (D9/D10): 'verb' token in the middle
+                self.cap_2_classes_v.setdefault(key, {})[caption] = \
+                    [cls1, "verb", cls2]
+                self.idx_2_vs_v.setdefault(key, {})[caption] = {
+                    "verb": [[verb], [verb], [verb]],
+                    "sr": [["ARG0"], ["V"], ["ARG1"]]}
+                self.idx_2_v_og.setdefault(key, {})[caption] = \
+                    [[verb_og], [verb_og], [verb_og]]
+                self.img_cap_v_2_class_self.setdefault(key, {})[caption] = {
+                    verb: {"ARG0": [int(c1 + 1)], "ARG1": [int(c2 + 1)]}}
             self.cap_2_verb.setdefault(key, {})[caption] = [verb]
-            # verb-slot variants (D9/D10 schema): 'verb' token in the middle
-            self.cap_2_classes_v.setdefault(key, {})[caption] = \
-                [cls1, "verb", cls2]
-            self.idx_2_vs_v.setdefault(key, {})[caption] = {
-                "verb": [[verb], [verb], [verb]],
-                "sr": [["ARG0"], ["V"], ["ARG1"]]}
             self.cap_2_verb_v.setdefault(key, {})[caption] = [verb]
-            self.idx_2_v_og.setdefault(key, {})[caption] = \
-                [[verb_og], [verb_og], [verb_og]]
             self.img_caps_vb.setdefault(key, []).append(caption)
-            self.img_cap_v_2_class_self.setdefault(key, {})[caption] = {
-                verb: {"ARG0": [int(c1 + 1)], "ARG1": [int(c2 + 1)]}}
             self.vlem_2_vog.setdefault(key, {})[caption] = [[verb, verb_og]]
 
             split = ("train" if i < n_images else

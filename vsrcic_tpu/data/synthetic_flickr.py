@@ -42,34 +42,49 @@ class SyntheticFlickr:
             img_id = "20%07d" % i
             image = "flickr30k_images/%s.jpg" % img_id
             self.img_shapes[img_id] = [500, 375]
-            c1, c2 = rng.choice(n_classes, 2, replace=False)
             verb = self.verbs[rng.randint(n_verbs)]
             verb_occ = verb + "_0"
             verb_og = verb + "s"
-            cls1, cls2 = self.class_names[c1], self.class_names[c2]
-            caption = "a %s %s a %s" % (cls1, verb_og, cls2)
-            image_classes[img_id] = [c1 + 1, c2 + 1]
+            multi = (i % 3 == 2)   # repeated-SR case — see synthetic.py
+            n_ents = 3 if multi else 2
+            chosen = rng.choice(n_classes, n_ents, replace=False)
+            names = [self.class_names[c] for c in chosen]
+            image_classes[img_id] = [int(c) + 1 for c in chosen]
 
-            # two GT entities with boxes; entity ids 1,2 in det_ids space
+            # GT entities with boxes; entity ids 1..n in det_ids space
             boxes = []
-            for _ in range(2):
+            for _ in range(n_ents):
                 x1, y1 = rng.rand() * 200, rng.rand() * 150
                 boxes.append(((int(x1), int(y1), int(x1) + 80,
                                int(y1) + 80),))
             bdnboxes = tuple(boxes)
-            det_ids = [0, 1, 0, 0, 2]  # word-aligned entity ids ("a X vs a Y")
 
-            # cap_2_classes: +1-offset ints; verb position encoded so that
-            # x-1 < 0 (the field treats negatives as verb slots)
-            self.cap_2_classes.setdefault(img_id, {})[caption] = [1, -1, 2]
-            self.idx_2_vs.setdefault(img_id, {})[caption] = {
-                "verb": [[verb_occ], [verb_occ], [verb_occ]],
-                "sr": [[1], [25], [2]]}          # ARG0, V, ARG1 (numeric)
+            if multi:
+                # "a X and a Y verbs a Z": X and Y share SR 1 (ARG0)
+                caption = "a %s and a %s %s a %s" % (names[0], names[1],
+                                                     verb_og, names[2])
+                det_ids = [0, 1, 0, 0, 2, 0, 0, 3]
+                cap_cls = [1, 2, -1, 3]
+                vs = {"verb": [[verb_occ]] * 4,
+                      "sr": [[1], [1], [25], [2]]}
+                v_og = [[verb_og]] * 4
+                idbox = {verb_occ: {"1": [0, 1], "2": [2]}}
+            else:
+                caption = "a %s %s a %s" % (names[0], verb_og, names[1])
+                det_ids = [0, 1, 0, 0, 2]  # word-aligned ("a X vs a Y")
+                # cap_2_classes: +1-offset ints; verb position encoded so
+                # that x-1 < 0 (the field treats negatives as verb slots)
+                cap_cls = [1, -1, 2]
+                vs = {"verb": [[verb_occ], [verb_occ], [verb_occ]],
+                      "sr": [[1], [25], [2]]}    # ARG0, V, ARG1 (numeric)
+                v_og = [[verb_og], [verb_og], [verb_og]]
+                idbox = {verb_occ: {"1": [0], "2": [1]}}
+
+            self.cap_2_classes.setdefault(img_id, {})[caption] = cap_cls
+            self.idx_2_vs.setdefault(img_id, {})[caption] = vs
             self.cap_2_verb.setdefault(img_id, {})[caption] = [verb_occ]
-            self.idx_2_v_og.setdefault(img_id, {})[caption] = \
-                [[verb_og], [verb_og], [verb_og]]
-            self.img_cap_v_2_idbox.setdefault(img_id, {})[caption] = {
-                verb_occ: {"1": [0], "2": [1]}}
+            self.idx_2_v_og.setdefault(img_id, {})[caption] = v_og
+            self.img_cap_v_2_idbox.setdefault(img_id, {})[caption] = idbox
             self.vlem_2_vog.setdefault(img_id, {})[caption] = \
                 [[verb, verb_og]]
             self.cap_2_verb_nv.setdefault(img_id, {})[caption] = [verb_occ]

@@ -48,10 +48,10 @@ def init_sinkhorn_params(key, cfg: SinkhornConfig) -> Dict[str, Any]:
         return {"weight": nn.xavier_normal(k, (o, i)), "bias": jnp.zeros((o,))}
 
     return {
-        "W1_txt": lin(ks[0], 300, 128),
-        "W1_vis": lin(ks[1], 2048, 512),
+        "W1_txt": lin(ks[0], cfg.txt_dim, 128),
+        "W1_vis": lin(ks[1], cfg.vis_dim, 512),
         "W2_vis": lin(ks[2], 512, 128),
-        "W_fc_pos": lin(ks[3], 260, 256),
+        "W_fc_pos": lin(ks[3], 256 + cfg.pos_dim, 256),
         "W_fc": lin(ks[4], 256, cfg.n),
     }
 
@@ -69,10 +69,14 @@ def sinkhorn_normalize(x, n_iters: int, tau: float):
 
 
 def sinkhorn_net_apply(params, cfg: SinkhornConfig, seq):
-    """seq: (B, N, 2352) -> soft permutation (B, N, N)."""
-    x_txt = seq[:, :, :300]
-    x_vis = seq[:, :, 300:2348]
-    x_pos = seq[:, :, 2348:]
+    """seq: (B, N, txt+vis+pos) -> soft permutation (B, N, N).
+
+    Default dims reproduce the reference's 2352-d slicing exactly
+    (:300 / 300:2348 / 2348:, incl. the mislabeled-slice quirk — module
+    docstring); non-default dims exist for reduced-width test worlds."""
+    x_txt = seq[:, :, :cfg.txt_dim]
+    x_vis = seq[:, :, cfg.txt_dim:cfg.txt_dim + cfg.vis_dim]
+    x_pos = seq[:, :, cfg.txt_dim + cfg.vis_dim:]
     x_txt = jax.nn.relu(nn.linear(params["W1_txt"], x_txt))
     x_vis = jax.nn.relu(nn.linear(params["W1_vis"], x_vis))
     x_vis = jax.nn.relu(nn.linear(params["W2_vis"], x_vis))
