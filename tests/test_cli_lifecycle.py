@@ -151,3 +151,28 @@ def test_cli_planner_resume(tmp_path, capsys):
                   "--start_from", os.path.join(ckpt_root, sub)] + TINY)
         out = capsys.readouterr().out
         assert "resumed" in out, (sub, out[:500])
+
+
+def test_cli_planner_flickr_smoke(tmp_path, capsys):
+    """Flickr planner training CLIs (ref train_region_sort_flickr.py /
+    train_sinkhorn_flickr.py): the 7-output field indexing branch and the
+    per-pairs loss normalization, CLI-level. Tiny SSP dims keep the
+    flickr verb vocab (2926) trainable on a CPU host."""
+    from vsrcic_tpu.cli import train_region_sort, train_sinkhorn
+
+    ckpt_root = str(tmp_path / "saved")
+    train_region_sort.main(["--dataset", "flickr", "--checkpoint_path",
+                            ckpt_root, "--max_steps", "1",
+                            "--ssp_hidden_size", "16",
+                            "--ssp_embed_size", "16", "--ssp_layers", "1"]
+                           + TINY)
+    out = capsys.readouterr().out
+    assert "s-ssp loss" in out
+    assert _ckpt_exists(os.path.join(ckpt_root, "flickr_s_ssp", "model-tr"))
+
+    train_sinkhorn.main(["--dataset", "flickr", "--checkpoint_path",
+                         ckpt_root, "--max_steps", "1"] + TINY)
+    out = capsys.readouterr().out
+    assert "sinkhorn loss" in out
+    assert _ckpt_exists(os.path.join(ckpt_root, "flickr_sinkhorn",
+                                     "model-sh"))

@@ -21,6 +21,12 @@ def main(argv=None):
     p.add_argument("--learning_rate_decay_rate", default=0.6, type=float)
     p.add_argument("--stop_epoch", default=20, type=int)
     p.add_argument("--log_dir", default=None, type=str)
+    # planner width knobs (the reference hardcodes 512/512/3,
+    # sort_model.py:23-28 — defaults match; tiny values make the CLI
+    # testable on a CPU host, like the captioner's dim flags)
+    p.add_argument("--ssp_hidden_size", default=512, type=int)
+    p.add_argument("--ssp_embed_size", default=512, type=int)
+    p.add_argument("--ssp_layers", default=3, type=int)
     opt = p.parse_args(argv)
     print(opt)
     force_platform(opt.platform)
@@ -46,7 +52,11 @@ def main(argv=None):
     loader = DataLoader(ds, batch_size=opt.batch_size,
                         num_workers=opt.nb_workers)
 
-    cfg = SSPConfig(dataset=opt.dataset)
+    cfg = SSPConfig(dataset=opt.dataset,
+                    hidden_size=opt.ssp_hidden_size,
+                    embed_size=opt.ssp_embed_size,
+                    encoder_layers=opt.ssp_layers,
+                    decoder_layers=opt.ssp_layers)
     params = init_ssp_params(jax.random.PRNGKey(opt.seed), cfg)
 
     # --start_from resume (ref train_region_sort.py:96-109 restores
