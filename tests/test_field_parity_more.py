@@ -85,6 +85,9 @@ def coco_world(tmp_path_factory):
 
     image = "x/COCO_x_%012d.jpg" % img_id
     caption = "the cls1 holds a cls2 while running to cls3"
+    # caption2: REPEATED SR — two slots (and two class ids) share hold/ARG0,
+    # the need_re_rank case that drives the Sinkhorn re-ranking path
+    caption2 = "a cls1 and a cls2 holds a cls3"
     sid = str(img_id)
 
     paths = {
@@ -94,29 +97,39 @@ def coco_world(tmp_path_factory):
                             ["<unk>", "a", "holds", "running", "cls1"]),
         "verb_vob": _dump_json(root, "verb_vob", {}),
         # D8/D10: verb -> SR -> 1-based class ids (ref field.py:319,604)
-        "v_2_class": _dump_json(root, "v_2_class", {sid: {caption: {
-            "hold": {"ARG0": [2], "ARG1": [3]},
-            "run": {"LOC": [4], "DIR": [2]}}}}),
+        "v_2_class": _dump_json(root, "v_2_class", {sid: {
+            caption: {"hold": {"ARG0": [2], "ARG1": [3]},
+                      "run": {"LOC": [4], "DIR": [2]}},
+            caption2: {"hold": {"ARG0": [2, 3], "ARG1": [4]}}}}),
         # same but including a class (cls6, id 7) with no matching detection
-        "v_2_class_miss": _dump_json(root, "v_2_class_miss", {sid: {caption: {
-            "hold": {"ARG0": [2], "ARG1": [7]},
-            "run": {"LOC": [4]}}}}),
+        "v_2_class_miss": _dump_json(root, "v_2_class_miss", {sid: {
+            caption: {"hold": {"ARG0": [2], "ARG1": [7]},
+                      "run": {"LOC": [4]}},
+            caption2: {"hold": {"ARG0": [2, 3], "ARG1": [4]}}}}),
         # D9 tables (per caption-slot verb/SR grids, ref :450-453)
-        "idx_2_vs": _dump_json(root, "idx_2_vs", {sid: {caption: {
-            "verb": [["hold"], ["hold"], ["hold", "run"], ["run"], ["run"]],
-            "sr": [["ARG0"], ["V"], ["ARG1", "LOC"], ["V"], ["DIR"]]}}}),
+        "idx_2_vs": _dump_json(root, "idx_2_vs", {sid: {
+            caption: {
+                "verb": [["hold"], ["hold"], ["hold", "run"], ["run"],
+                         ["run"]],
+                "sr": [["ARG0"], ["V"], ["ARG1", "LOC"], ["V"], ["DIR"]]},
+            caption2: {
+                "verb": [["hold"], ["hold"], ["hold"], ["hold"]],
+                "sr": [["ARG0"], ["ARG0"], ["V"], ["ARG1"]]}}}),
         "cap_2_classes": _dump_json(root, "cap_2_classes", {sid: {
-            caption: ["cls1", "verb", "cls2", "verb", "cls3"]}}),
-        "cap_2_verb": _dump_json(root, "cap_2_verb",
-                                 {sid: {caption: ["hold", "run"]}}),
-        "idx_2_v_og": _dump_json(root, "idx_2_v_og", {sid: {caption: [
-            ["holds"], ["holds"], ["holds", "running"], ["notinvocab"],
-            ["running"]]}}),
-        "vlem_2_v_og": _dump_json(root, "vlem_2_v_og", {sid: {caption: [
-            ["hold", "holds"], ["run", "running"]]}}),
+            caption: ["cls1", "verb", "cls2", "verb", "cls3"],
+            caption2: ["cls1", "cls2", "verb", "cls3"]}}),
+        "cap_2_verb": _dump_json(root, "cap_2_verb", {sid: {
+            caption: ["hold", "run"], caption2: ["hold"]}}),
+        "idx_2_v_og": _dump_json(root, "idx_2_v_og", {sid: {
+            caption: [["holds"], ["holds"], ["holds", "running"],
+                      ["notinvocab"], ["running"]],
+            caption2: [["holds"], ["holds"], ["holds"], ["holds"]]}}),
+        "vlem_2_v_og": _dump_json(root, "vlem_2_v_og", {sid: {
+            caption: [["hold", "holds"], ["run", "running"]],
+            caption2: [["hold", "holds"]]}}),
     }
     return dict(h5=h5, classes_txt=classes_txt, glove=glove, image=image,
-                caption=caption, paths=paths)
+                caption=caption, caption2=caption2, paths=paths)
 
 
 def _coco_common(world):
@@ -366,3 +379,52 @@ def test_flickr_det_set_field_verb_parity(flickr_world, gt_verb):
     x = ((flickr_world["image"], flickr_world["caption"]),
          flickr_world["gt_bboxes"])
     assert_tuples_equal(ref.preprocess(x), mine.preprocess(x), n_expected=8)
+
+
+def test_repeated_sr_caption_parity(coco_world):
+    """Repeated-SR caption (two slots + two class ids under hold/ARG0) vs
+    the reference fields — the grids that make a (verb, SR) pair ambiguous
+    and trigger Sinkhorn re-ranking downstream were otherwise only
+    exercised by single-SR fixtures."""
+    p = coco_world["paths"]
+    x = ((coco_world["image"], coco_world["caption2"]), None)
+
+    ref = ref_field.COCODetSetField(cls_seq_path=p["v_2_class"],
+                                    **_coco_common(coco_world))
+    mine = COCODetSetField(HDF5FeatureStore(coco_world["h5"]),
+                           cls_seq_path=p["v_2_class"],
+                           **_mine_common(coco_world))
+    assert_tuples_equal(ref.preprocess(x), mine.preprocess(x), n_expected=8)
+
+    kw = dict(idx_vs_path=p["idx_2_vs"], cap_classes_path=p["cap_2_classes"],
+              cap_verb_path=p["cap_2_verb"], vocab_path=p["vocab"],
+              idx_2_verb_og_path=p["idx_2_v_og"],
+              verb_vob_path=p["verb_vob"], gt_verb=False)
+    ref9 = ref_field.COCOControlSetField_Verb(**kw,
+                                             **_coco_common(coco_world))
+    mine9 = COCOControlSetField_Verb(HDF5FeatureStore(coco_world["h5"]),
+                                     **kw, **_mine_common(coco_world))
+    for seed in (0, 1234):
+        random.seed(seed)
+        r = ref9.preprocess(x)
+        random.seed(seed)
+        m = mine9.preprocess(x)
+        assert_tuples_equal(r, m, n_expected=11)
+    # the repeated SR must actually be present in the emitted grids
+    det_seqs_sr = np.asarray(r[5])
+    vals, counts = np.unique(det_seqs_sr[det_seqs_sr != 0],
+                             return_counts=True)
+    assert (counts >= 2).any(), "fixture no longer repeats an SR"
+
+    kw10 = dict(cls_seq_path=p["v_2_class_miss"], vocab_path=p["vocab"],
+                vlem_2_v_og_path=p["vlem_2_v_og"], gt_verb=False)
+    ref10 = ref_field.COCODetSetField_Verb(**kw10,
+                                          **_coco_common(coco_world))
+    mine10 = COCODetSetField_Verb(HDF5FeatureStore(coco_world["h5"]),
+                                  **kw10, **_mine_common(coco_world))
+    for seed in (0, 3):
+        random.seed(seed)
+        r = ref10.preprocess(x)
+        random.seed(seed)
+        m = mine10.preprocess(x)
+        assert_tuples_equal(r, m, n_expected=9)
