@@ -119,13 +119,23 @@ def ssp_decode(params, cfg: SSPConfig, tokens, prior_states, rng=None):
     return nn.layer_norm(params["decoder"]["layer_norm"], x)
 
 
-def ssp_forward_loss(params, cfg: SSPConfig, verb, det_sr, gt_sr, rng=None):
-    """Teacher-forced label-smoothed loss (ref sort_model.py:80-103)."""
+def ssp_forward_loss(params, cfg: SSPConfig, verb, det_sr, gt_sr, rng=None,
+                     row_weights=None):
+    """Teacher-forced label-smoothed loss (ref sort_model.py:80-103).
+
+    row_weights (B,): optional 0/1 row mask — position 0 of every row is
+    otherwise always counted (dec_mask starts with 1), so zero-PADDED rows
+    would shift the loss; weighting them out keeps a padded batch's loss
+    exactly equal to the unpadded one (data-parallel non-divisible
+    batches, SSPTrainer mesh path)."""
     gt_sr = jnp.asarray(gt_sr).astype(jnp.int32)
     b, l = gt_sr.shape
     sr_mask = (gt_sr != 0).astype(jnp.float32)
     dec_in = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), gt_sr], 1)      # (B, L+1)
     dec_mask = jnp.concatenate([jnp.ones((b, 1), jnp.float32), sr_mask], 1)
+    if row_weights is not None:
+        dec_mask = dec_mask * jnp.asarray(row_weights,
+                                          jnp.float32)[:, None]
     targets = jnp.concatenate([gt_sr, jnp.zeros((b, 1), jnp.int32)], 1)  # (B, L+1)
 
     r_enc, r_dec = _maybe_keys(rng, 2)

@@ -26,13 +26,19 @@ from vsrcic_tpu.train.common import (
 
 class SSPTrainer:
     def __init__(self, cfg: SSPConfig, params, lr: float = 1e-4, mesh=None):
+        """mesh: data-parallel over the group axis (GSPMD). Group counts
+        are data-dependent per batch, so non-divisible batches are padded
+        with weight-0 rows — loss EXACTLY equals the unpadded single-device
+        value (row_weights in ssp_forward_loss; tests/test_parallel.py)."""
         self.cfg = cfg
         self.tx = adam(lr)
         self.state = init_train_state(params, self.tx)
+        self.mesh = mesh
 
-        def train_step(state: TrainState, verbs, det_sr, gt_sr, rng):
+        def train_step(state: TrainState, verbs, det_sr, gt_sr, rng, row_w):
             def loss_fn(p):
-                return ssp_forward_loss(p, cfg, verbs, det_sr, gt_sr, rng=rng)
+                return ssp_forward_loss(p, cfg, verbs, det_sr, gt_sr,
+                                        rng=rng, row_weights=row_w)
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             return apply_grads(self.tx, state, grads), loss
 
@@ -41,7 +47,7 @@ class SSPTrainer:
             data = NamedSharding(mesh, P("data"))
             rep = NamedSharding(mesh, P())
             self._train_step = jax.jit(
-                train_step, in_shardings=(rep, data, data, data, rep),
+                train_step, in_shardings=(rep, data, data, data, rep, data),
                 out_shardings=(rep, rep))
         else:
             self._train_step = jax.jit(train_step)
@@ -74,9 +80,25 @@ class SSPTrainer:
         return (np.asarray(verbs), np.stack(det_list), np.stack(gt_list))
 
     def step(self, verbs, det_sr, gt_sr, rng) -> float:
+        verbs = np.asarray(verbs)
+        det_sr = np.asarray(det_sr)
+        gt_sr = np.asarray(gt_sr)
+        b = verbs.shape[0]
+        row_w = np.ones((b,), np.float32)
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            pad = (-b) % n
+            if pad:
+                verbs = np.concatenate([verbs, np.zeros((pad,) +
+                                        verbs.shape[1:], verbs.dtype)])
+                det_sr = np.concatenate([det_sr, np.zeros((pad,) +
+                                         det_sr.shape[1:], det_sr.dtype)])
+                gt_sr = np.concatenate([gt_sr, np.zeros((pad,) +
+                                        gt_sr.shape[1:], gt_sr.dtype)])
+                row_w = np.concatenate([row_w, np.zeros((pad,), np.float32)])
         self.state, loss = self._train_step(
             self.state, jnp.asarray(verbs), jnp.asarray(det_sr),
-            jnp.asarray(gt_sr), rng)
+            jnp.asarray(gt_sr), rng, jnp.asarray(row_w))
         return float(loss)
 
 
@@ -139,7 +161,16 @@ class SinkhornTrainer:
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             return apply_grads(self.tx, state, grads), loss
 
-        self._train_step = jax.jit(train_step)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            self._train_step = jax.jit(
+                train_step, in_shardings=(rep, data, data, data, rep),
+                out_shardings=(rep, rep))
+        else:
+            self._train_step = jax.jit(train_step)
 
     def set_lr(self, lr: float):
         self.state = TrainState(self.state.params,
@@ -149,6 +180,20 @@ class SinkhornTrainer:
     def step(self, inputs, tr_locs, gt_locs, n_images: int) -> float:
         denom = float(n_images if self.loss_normalization == "images"
                       else len(inputs))
+        inputs = np.asarray(inputs)
+        tr_locs = np.asarray(tr_locs)
+        gt_locs = np.asarray(gt_locs)
+        if self.mesh is not None:
+            # pair counts are data-dependent: pad to the mesh with all-zero
+            # pairs — tr_locs 0 makes resort 0 and gt_locs 0 makes the
+            # padded (resort - gt)^2 exactly 0, and denom is explicit, so
+            # the padded loss EQUALS the unpadded one
+            n = self.mesh.devices.size
+            pad = (-len(inputs)) % n
+            if pad:
+                z = lambda a: np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                inputs, tr_locs, gt_locs = z(inputs), z(tr_locs), z(gt_locs)
         self.state, loss = self._train_step(
             self.state, jnp.asarray(inputs), jnp.asarray(tr_locs),
             jnp.asarray(gt_locs), jnp.asarray(denom))
