@@ -176,3 +176,24 @@ def test_cli_planner_flickr_smoke(tmp_path, capsys):
     assert "sinkhorn loss" in out
     assert _ckpt_exists(os.path.join(ckpt_root, "flickr_sinkhorn",
                                      "model-sh"))
+
+
+def test_cli_planner_data_parallel_smoke(tmp_path, capsys):
+    """--data_parallel on the planner CLIs: sharded group/pair training
+    with data-dependent (non-divisible) batch sizes padded value-exactly."""
+    from vsrcic_tpu.cli import train_region_sort, train_sinkhorn
+
+    ckpt_root = str(tmp_path / "saved")
+    train_region_sort.main(["--dataset", "coco", "--checkpoint_path",
+                            ckpt_root, "--max_steps", "1",
+                            "--data_parallel", "2",
+                            "--ssp_hidden_size", "16",
+                            "--ssp_embed_size", "16", "--ssp_layers", "1"]
+                           + TINY)
+    out = capsys.readouterr().out
+    assert "s-ssp loss" in out
+    train_sinkhorn.main(["--dataset", "coco", "--checkpoint_path",
+                         ckpt_root, "--max_steps", "1",
+                         "--data_parallel", "2"] + TINY)
+    out = capsys.readouterr().out
+    assert "sinkhorn loss" in out

@@ -9,7 +9,8 @@ import time
 
 import numpy as np
 
-from vsrcic_tpu.cli.common import (base_parser, build_world, force_platform,
+from vsrcic_tpu.cli.common import (base_parser, build_world,
+                                   ensure_virtual_devices, force_platform,
                                    seed_all)
 from vsrcic_tpu.cli.fields import make_image_field, make_ssp_det_field
 
@@ -21,6 +22,9 @@ def main(argv=None):
     p.add_argument("--learning_rate_decay_rate", default=0.6, type=float)
     p.add_argument("--stop_epoch", default=20, type=int)
     p.add_argument("--log_dir", default=None, type=str)
+    p.add_argument("--data_parallel", default=0, type=int, metavar="N",
+                   help="shard training over N devices (group/pair axis; "
+                   "non-divisible batches padded value-exactly)")
     # planner width knobs (the reference hardcodes 512/512/3,
     # sort_model.py:23-28 — defaults match; tiny values make the CLI
     # testable on a CPU host, like the captioner's dim flags)
@@ -29,6 +33,7 @@ def main(argv=None):
     p.add_argument("--ssp_layers", default=3, type=int)
     opt = p.parse_args(argv)
     print(opt)
+    ensure_virtual_devices(opt.data_parallel, opt.platform)
     force_platform(opt.platform)
     seed_all(opt.seed)
     from vsrcic_tpu.utils.observability import MetricLogger
@@ -78,7 +83,13 @@ def main(argv=None):
         print("resumed S-SSP from %s (epoch %d, step %d)"
               % (path, start_epoch - 1, step))
 
-    trainer = SSPTrainer(cfg, params, lr=opt.learning_rate)
+    mesh = None
+    if opt.data_parallel:
+        from vsrcic_tpu.parallel import make_mesh, replicate
+        mesh = make_mesh(n_data=opt.data_parallel,
+                         devices=jax.devices()[:opt.data_parallel])
+        params = replicate(params, mesh)
+    trainer = SSPTrainer(cfg, params, lr=opt.learning_rate, mesh=mesh)
 
     for e in range(start_epoch, opt.max_epochs):
         if e == opt.stop_epoch:

@@ -9,7 +9,8 @@ import time
 
 import numpy as np
 
-from vsrcic_tpu.cli.common import (base_parser, build_world, force_platform,
+from vsrcic_tpu.cli.common import (base_parser, build_world,
+                                   ensure_virtual_devices, force_platform,
                                    seed_all)
 from vsrcic_tpu.cli.fields import make_image_field, make_sinkhorn_det_field
 
@@ -22,8 +23,12 @@ def main(argv=None):
     p.add_argument("--stop_epoch", default=20, type=int)
     p.add_argument("--sinkhorn_len", default=10, type=int)
     p.add_argument("--log_dir", default=None, type=str)
+    p.add_argument("--data_parallel", default=0, type=int, metavar="N",
+                   help="shard training over N devices (group/pair axis; "
+                   "non-divisible batches padded value-exactly)")
     opt = p.parse_args(argv)
     print(opt)
+    ensure_virtual_devices(opt.data_parallel, opt.platform)
     force_platform(opt.platform)
     seed_all(opt.seed)
     from vsrcic_tpu.utils.observability import MetricLogger
@@ -70,9 +75,15 @@ def main(argv=None):
         print("resumed Sinkhorn from %s (epoch %d, step %d)"
               % (path, start_epoch - 1, step))
 
+    mesh = None
+    if opt.data_parallel:
+        from vsrcic_tpu.parallel import make_mesh, replicate
+        mesh = make_mesh(n_data=opt.data_parallel,
+                         devices=jax.devices()[:opt.data_parallel])
+        params = replicate(params, mesh)
     norm = "images" if opt.dataset == "coco" else "pairs"
     trainer = SinkhornTrainer(cfg, params, lr=opt.learning_rate,
-                              loss_normalization=norm)
+                              loss_normalization=norm, mesh=mesh)
 
     for e in range(start_epoch, opt.max_epochs):
         if e == opt.stop_epoch:
