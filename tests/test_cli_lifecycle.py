@@ -58,11 +58,12 @@ def test_cli_lifecycle_coco(tmp_path, capsys):
 
 
 def test_cli_eval_flickr_det_smoke(capsys):
-    """Flickr detected-regions eval path (ref eval_flickr.py --det)."""
+    """Flickr detected-regions + GT-verb eval path (ref eval_flickr.py
+    --det --gt, the 4th of the reference's four eval configurations)."""
     from vsrcic_tpu.cli import eval as eval_cli
 
-    cider = eval_cli.main(["--dataset", "flickr", "--det", "--limit", "2"]
-                          + TINY)
+    cider = eval_cli.main(["--dataset", "flickr", "--det", "--gt",
+                           "--limit", "2"] + TINY)
     out = capsys.readouterr().out
     assert "CIDEr" in out
     assert isinstance(cider, float)
