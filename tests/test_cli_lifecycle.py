@@ -83,6 +83,15 @@ def test_cli_train_data_parallel_smoke(tmp_path, capsys):
     assert "val CIDEr" in out
     assert _ckpt_exists(os.path.join(ckpt_root, "coco_cap", "exp_last"))
 
+    # SCST under the same mesh: XE-best restore -> replicate -> sharded
+    # sample/greedy/grad (ref train.py:85-90 warm start)
+    train_cli.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
+                    "--sample_rl", "--max_steps", "1", "--max_epochs", "1",
+                    "--data_parallel", "2"] + TINY)
+    out = capsys.readouterr().out
+    assert "restored XE best" in out
+    assert _ckpt_exists(os.path.join(ckpt_root, "coco_cap", "exp_rl_last"))
+
 
 def test_cli_three_checkpoint_eval(tmp_path, capsys):
     """The full S4 composition: captioner + S-SSP + Sinkhorn checkpoints
