@@ -159,6 +159,12 @@ def test_synthetic_worlds_have_ambiguous_sr_pairs():
                 n_rerank += 1
     assert n_rerank >= 3   # every 3rd image
 
+    # multi-verb captions exist too (every 5th non-colliding image) — the
+    # eval pipeline's verb_rank_merge branch needs them to ever fire
+    n_multi = sum(1 for caps in syn.cap_2_verb.values()
+                  for vs in caps.values() if len(vs) >= 2)
+    assert n_multi >= 1
+
     synf = SyntheticFlickr(n_images=9, n_val=2, n_test=2, seed=0)
     n_rerank_f = sum(
         1 for caps in synf.idx_2_vs.values() for vs in caps.values()

@@ -203,3 +203,43 @@ def test_pipeline_recons_layout_emission(world):
     pipe_b._recons_m_pad = None
     words_b = pipe_b.run_batch(dets, jobs)
     np.testing.assert_array_equal(words_a, words_b)
+
+
+def test_field_built_multi_verb_job_takes_merge_branch(world):
+    """A two-verb synthetic caption, processed by the REAL eval field, must
+    extract as TWO verb groups for one job — the plan assembly's multi-verb
+    verb_rank_merge branch (eval_pipeline.py 'ng > 1') — and the vectorized
+    rank assembly must still match the loop oracle on that batch."""
+    from vsrcic_tpu.pipelines.sr_groups import extract_verb_groups_batch
+
+    syn, tf, captioner, ssp_cfg, ssp_params, kcfg, kparams = world
+    train, val, test = syn.sample_splits
+    two_verb_caps = {cap for caps in syn.cap_2_verb.values()
+                     for cap, vs in caps.items() if len(vs) >= 2}
+    multi = [e for e in train + val + test if e.text in two_verb_caps]
+    assert multi, "synthetic world lost its multi-verb captions"
+    ex = multi[0]
+
+    det_field = COCOControlSetField_Verb(
+        syn.store, classes_path=syn.classes, img_shapes_path=syn.img_shapes,
+        precomp_glove_path=syn.vectors, verb_idx_path=syn.verb_2_idx,
+        idx_vs_path=syn.idx_2_vs_v, cap_classes_path=syn.cap_2_classes_v,
+        cap_verb_path=syn.cap_2_verb_v, vocab_path=tf.vocab.itos,
+        idx_2_verb_og_path=syn.idx_2_v_og, verb_vob_path={},
+        fix_length=10, max_detections=5)
+    out = det_field.preprocess(((ex.image, ex.text), None))
+    (word, vis, pos, vis_all, seq_v, seq_sr, cv, gt_v, gt_sr, idx, vl) = out
+    groups, owners = extract_verb_groups_batch(
+        np.asarray(cv)[None], np.asarray(seq_v)[None],
+        np.asarray(seq_sr)[None])
+    assert len(groups) == 2 and owners == [0, 0], (len(groups), owners)
+
+    job = CaptionJob(seqs_vis=vis, seqs_txt=word, seqs_pos=pos,
+                     seqs_all=vis_all, control_verb=cv, det_seqs_v=seq_v,
+                     det_seqs_sr=seq_sr, verb_list=vl)
+    pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg,
+                        eos_word=tf.eos_idx, beam_size=2)
+    r_vec = pipe.plan_rank_batch([job])
+    r_loop = pipe.plan_rank_batch_loop([job])
+    for a, b in zip(r_vec, r_loop):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -125,6 +125,52 @@ class SyntheticCOCO:
                 self.img_cap_v_2_class_self.setdefault(key, {})[caption] = {
                     verb: {"ARG0": [int(c1 + 1), int(c1b + 1)],
                            "ARG1": [int(c2 + 1)]}}
+            elif i % 5 == 4:
+                # every 5th (non-colliding) image: TWO verbs — the only
+                # source of multi-verb jobs, whose final rank goes through
+                # the order-preserving verb_rank_merge (otherwise that
+                # eval-pipeline branch never fires outside fuzz tests)
+                verb2 = self.verbs[(self.verb_2_idx[verb] + 1) % n_verbs]
+                verb2_og = verb2 + "s"
+                c1, c2, c3 = rng.choice(n_classes, 3, replace=False)
+                cls1, cls2, cls3 = (self.class_names[c1],
+                                    self.class_names[c2],
+                                    self.class_names[c3])
+                caption = "a %s %s a %s and %s a %s" % (
+                    cls1, verb_og, cls2, verb2_og, cls3)
+                image_classes[key] = [c1 + 1, c2 + 1, c3 + 1]
+                self.entities.setdefault(key, {})[caption] = [
+                    ["a %s" % cls1, cls1], ["a %s" % cls2, cls2],
+                    ["a %s" % cls3, cls3]]
+                self.cap_2_classes.setdefault(key, {})[caption] = \
+                    [cls1, cls2, cls3]
+                self.idx_2_vs.setdefault(key, {})[caption] = {
+                    "verb": [[verb, verb2], [verb], [verb2]],
+                    "sr": [["ARG0", "ARG0"], ["ARG1"], ["ARG1"]]}
+                self.cap_2_classes_v.setdefault(key, {})[caption] = \
+                    [cls1, "verb", cls2, "verb", cls3]
+                self.idx_2_vs_v.setdefault(key, {})[caption] = {
+                    "verb": [[verb, verb2], [verb], [verb], [verb2],
+                             [verb2]],
+                    "sr": [["ARG0", "ARG0"], ["V"], ["ARG1"], ["V"],
+                           ["ARG1"]]}
+                self.idx_2_v_og.setdefault(key, {})[caption] = [
+                    [verb_og, verb2_og], [verb_og], [verb_og],
+                    [verb2_og], [verb2_og]]
+                self.img_cap_v_2_class_self.setdefault(key, {})[caption] = {
+                    verb: {"ARG0": [int(c1 + 1)], "ARG1": [int(c2 + 1)]},
+                    verb2: {"ARG0": [int(c1 + 1)], "ARG1": [int(c3 + 1)]}}
+                self.cap_2_verb.setdefault(key, {})[caption] = [verb, verb2]
+                self.cap_2_verb_v.setdefault(key, {})[caption] = \
+                    [verb, verb2]
+                self.img_caps_vb.setdefault(key, []).append(caption)
+                self.vlem_2_vog.setdefault(key, {})[caption] = \
+                    [[verb, verb_og], [verb2, verb2_og]]
+                split = ("train" if i < n_images else
+                         "val" if i < n_images + n_val else "test")
+                samples[split].append(Example.fromdict(
+                    {"image": image, "text": caption}))
+                continue
             else:
                 c1, c2 = rng.choice(n_classes, 2, replace=False)
                 cls1, cls2 = self.class_names[c1], self.class_names[c2]
