@@ -126,6 +126,15 @@ def main(argv=None):
             print("restored checkpoint (best_metric=%.3f)"
                   % ckpt.meta.get("best_metric", float("nan")))
     if restored is not None:
+        if "cfg" in restored:
+            rc = {k: int(v) for k, v in restored["cfg"].items()}
+            if rc["vocab_size"] != len(tf.vocab):
+                # same guard as cli/eval.py: a vocab mismatch surfaces much
+                # later as an opaque shape error (or silently wrong decode)
+                raise SystemExit(
+                    "checkpoint vocab_size %d != world vocab %d — the "
+                    "checkpoint was trained against a different vocabulary"
+                    % (rc["vocab_size"], len(tf.vocab)))
         params = restored["params"]
 
     mesh = None
