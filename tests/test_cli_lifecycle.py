@@ -57,13 +57,18 @@ def test_cli_lifecycle_coco(tmp_path, capsys):
     assert isinstance(cider, float)
 
 
-def test_cli_eval_flickr_det_smoke(capsys):
-    """Flickr detected-regions + GT-verb eval path (ref eval_flickr.py
-    --det --gt, the 4th of the reference's four eval configurations)."""
+import pytest
+
+
+@pytest.mark.parametrize("gt", [False, True])
+def test_cli_eval_flickr_det_smoke(capsys, gt):
+    """Flickr detected-regions eval, predicted-verb AND GT-verb modes
+    (ref eval_flickr.py --det [--gt] — reference configs #3 and #4)."""
     from vsrcic_tpu.cli import eval as eval_cli
 
-    cider = eval_cli.main(["--dataset", "flickr", "--det", "--gt",
-                           "--limit", "2"] + TINY)
+    cider = eval_cli.main(["--dataset", "flickr", "--det",
+                           "--limit", "2"] + (["--gt"] if gt else [])
+                          + TINY)
     out = capsys.readouterr().out
     assert "CIDEr" in out
     assert isinstance(cider, float)
@@ -78,8 +83,10 @@ def test_cli_train_data_parallel_smoke(tmp_path, capsys):
 
     ckpt_root = str(tmp_path / "saved")
     # 17 train images with batch 8 leaves a 1-row trailing batch, which the
-    # sharded XE path drops with a notice (SCST pads instead)
-    tiny17 = [a if a != "16" else "17" for a in TINY]
+    # sharded XE path drops with a notice (SCST pads instead). Replace ONLY
+    # the --synthetic_images value (TINY contains other "16"s).
+    tiny17 = list(TINY)
+    tiny17[tiny17.index("--synthetic_images") + 1] = "17"
     train_cli.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
                     "--max_epochs", "1", "--data_parallel", "2"] + tiny17)
     out = capsys.readouterr().out
@@ -109,8 +116,13 @@ def test_cli_three_checkpoint_eval(tmp_path, capsys):
     ckpt_root = str(tmp_path / "saved")
     train_cli.main(["--dataset", "coco", "--checkpoint_path", ckpt_root,
                     "--max_epochs", "1"] + TINY)
+    # reduced-width planner: eval has no SSP dim flags, so loading this
+    # checkpoint only works through the cfg blob stored with the weights
     train_region_sort.main(["--dataset", "coco", "--checkpoint_path",
-                            ckpt_root, "--max_steps", "2"] + TINY)
+                            ckpt_root, "--max_steps", "2",
+                            "--ssp_hidden_size", "16",
+                            "--ssp_embed_size", "16", "--ssp_layers", "1"]
+                           + TINY)
     train_sinkhorn.main(["--dataset", "coco", "--checkpoint_path",
                          ckpt_root, "--max_steps", "2"] + TINY)
     capsys.readouterr()

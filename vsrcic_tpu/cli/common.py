@@ -28,6 +28,19 @@ def ensure_virtual_devices(n: int, platform: Optional[str]):
     os.environ["XLA_FLAGS"] = " ".join(flags)
 
 
+def data_parallel_mesh(n: int, params):
+    """Build the n-device data mesh and replicate params onto it.
+
+    Returns (mesh, params) — (None, params) when n == 0. Shared by all
+    four CLIs so device selection stays consistent."""
+    if not n:
+        return None, params
+    import jax
+    from vsrcic_tpu.parallel import make_mesh, replicate
+    mesh = make_mesh(n_data=n, devices=jax.devices()[:n])
+    return mesh, replicate(params, mesh)
+
+
 def force_platform(platform: Optional[str]):
     """Select the JAX platform in-process (env vars are preempted by the
     environment's sitecustomize — see .claude/skills/verify)."""

@@ -139,7 +139,22 @@ def main(argv=None):
             from vsrcic_tpu.utils import import_torch_state_dict
             ssp_params = import_torch_state_dict(opt.ssp_ckpt)
         else:
-            ssp_params = restore_checkpoint(opt.ssp_ckpt)["params"]
+            sblob = restore_checkpoint(opt.ssp_ckpt)
+            ssp_params = sblob["params"]
+            if "cfg" in sblob:
+                # reduced-width planner ckpts load under the default
+                # 512/512/3 config WITHOUT a shape error (sqrt(embed)
+                # scaling differs) — the stored cfg must win
+                c = sblob["cfg"]
+                ds = ("coco" if int(c["dataset_id"]) == 0 else "flickr") \
+                    if "dataset_id" in c else opt.dataset
+                ssp_cfg = SSPConfig(
+                    dataset=ds,
+                    hidden_size=int(c["hidden_size"]),
+                    embed_size=int(c["embed_size"]),
+                    encoder_layers=int(c["encoder_layers"]),
+                    decoder_layers=int(c["decoder_layers"]),
+                    max_len=int(c.get("max_len", 10)))
     else:
         ssp_params = init_ssp_params(jax.random.PRNGKey(opt.seed + 1),
                                      ssp_cfg)
@@ -151,7 +166,14 @@ def main(argv=None):
             from vsrcic_tpu.utils import import_torch_state_dict
             kparams = import_torch_state_dict(opt.sinkhorn_ckpt)
         else:
-            kparams = restore_checkpoint(opt.sinkhorn_ckpt)["params"]
+            kblob = restore_checkpoint(opt.sinkhorn_ckpt)
+            kparams = kblob["params"]
+            if "cfg" in kblob:
+                c = kblob["cfg"]
+                kcfg = SinkhornConfig(
+                    n=int(c["n"]), n_iters=int(c["n_iters"]),
+                    tau=float(c["tau"]), txt_dim=int(c["txt_dim"]),
+                    vis_dim=int(c["vis_dim"]), pos_dim=int(c["pos_dim"]))
     else:
         kparams = init_sinkhorn_params(jax.random.PRNGKey(opt.seed + 2), kcfg)
 

@@ -127,25 +127,23 @@ def main(argv=None):
                   % ckpt.meta.get("best_metric", float("nan")))
     if restored is not None:
         if "cfg" in restored:
-            rc = {k: int(v) for k, v in restored["cfg"].items()}
-            if rc["vocab_size"] != len(tf.vocab):
+            ckpt_vocab = int(restored["cfg"]["vocab_size"])
+            if ckpt_vocab != len(tf.vocab):
                 # same guard as cli/eval.py: a vocab mismatch surfaces much
                 # later as an opaque shape error (or silently wrong decode)
                 raise SystemExit(
                     "checkpoint vocab_size %d != world vocab %d — the "
                     "checkpoint was trained against a different vocabulary"
-                    % (rc["vocab_size"], len(tf.vocab)))
+                    % (ckpt_vocab, len(tf.vocab)))
         params = restored["params"]
 
-    mesh = None
-    if opt.data_parallel:
-        from vsrcic_tpu.parallel import make_mesh, replicate
-        if opt.batch_size % opt.data_parallel and not opt.sample_rl:
-            # XE shards the exact batch; SCST pads internally (exact mean)
-            p.error("--batch_size %d must be divisible by --data_parallel %d"
-                    % (opt.batch_size, opt.data_parallel))
-        mesh = make_mesh(n_data=opt.data_parallel)
-        params = replicate(params, mesh)
+    if (opt.data_parallel and opt.batch_size % opt.data_parallel
+            and not opt.sample_rl):
+        # XE shards the exact batch; SCST pads internally (exact mean)
+        p.error("--batch_size %d must be divisible by --data_parallel %d"
+                % (opt.batch_size, opt.data_parallel))
+    from vsrcic_tpu.cli.common import data_parallel_mesh
+    mesh, params = data_parallel_mesh(opt.data_parallel, params)
 
     def dp_batches(loader):
         """Under data-parallel XE, the sharded jit needs the batch axis

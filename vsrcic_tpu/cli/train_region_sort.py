@@ -57,18 +57,13 @@ def main(argv=None):
     loader = DataLoader(ds, batch_size=opt.batch_size,
                         num_workers=opt.nb_workers)
 
-    cfg = SSPConfig(dataset=opt.dataset,
-                    hidden_size=opt.ssp_hidden_size,
-                    embed_size=opt.ssp_embed_size,
-                    encoder_layers=opt.ssp_layers,
-                    decoder_layers=opt.ssp_layers)
-    params = init_ssp_params(jax.random.PRNGKey(opt.seed), cfg)
-
     # --start_from resume (ref train_region_sort.py:96-109 restores
     # model + infos{epoch, iter}; its model-best branch is dead code —
     # nothing in the script ever writes model-best.pth — so --load_best
-    # resolves to the same single saved file here)
-    step, start_epoch = 0, 0
+    # resolves to the same single saved file here). The ckpt's stored cfg
+    # wins over the CLI dim flags (a width mismatch would load cleanly
+    # and compute silently wrong activations — sqrt(embed) scaling).
+    step, start_epoch, blob = 0, 0, None
     if opt.start_from:
         import os
         from vsrcic_tpu.core.checkpoint import restore_checkpoint
@@ -77,18 +72,32 @@ def main(argv=None):
         if os.path.isdir(cand) or os.path.isfile(cand + ".npz"):
             path = cand
         blob = restore_checkpoint(path)
-        params = blob["params"]
         step = int(blob.get("step", 0))
         start_epoch = int(blob.get("epoch", -1)) + 1
         print("resumed S-SSP from %s (epoch %d, step %d)"
               % (path, start_epoch - 1, step))
 
-    mesh = None
-    if opt.data_parallel:
-        from vsrcic_tpu.parallel import make_mesh, replicate
-        mesh = make_mesh(n_data=opt.data_parallel,
-                         devices=jax.devices()[:opt.data_parallel])
-        params = replicate(params, mesh)
+    if blob is not None and "cfg" in blob:
+        c = blob["cfg"]
+        ds = ("coco" if int(c["dataset_id"]) == 0 else "flickr") \
+            if "dataset_id" in c else opt.dataset
+        cfg = SSPConfig(dataset=ds,
+                        hidden_size=int(c["hidden_size"]),
+                        embed_size=int(c["embed_size"]),
+                        encoder_layers=int(c["encoder_layers"]),
+                        decoder_layers=int(c["decoder_layers"]),
+                        max_len=int(c.get("max_len", 10)))
+    else:
+        cfg = SSPConfig(dataset=opt.dataset,
+                        hidden_size=opt.ssp_hidden_size,
+                        embed_size=opt.ssp_embed_size,
+                        encoder_layers=opt.ssp_layers,
+                        decoder_layers=opt.ssp_layers)
+    params = (blob["params"] if blob is not None
+              else init_ssp_params(jax.random.PRNGKey(opt.seed), cfg))
+
+    from vsrcic_tpu.cli.common import data_parallel_mesh
+    mesh, params = data_parallel_mesh(opt.data_parallel, params)
     trainer = SSPTrainer(cfg, params, lr=opt.learning_rate, mesh=mesh)
 
     for e in range(start_epoch, opt.max_epochs):
@@ -124,10 +133,23 @@ def main(argv=None):
                 break
         print("epoch %d s-ssp loss %.4f (%.1fs)"
               % (e, running / max(n_it, 1), time.time() - t0))
+        # cfg travels with the weights: reduced-width planners would
+        # otherwise load under the default 512/512/3 SSPConfig WITHOUT a
+        # shape error (sqrt(embed_size) scaling, layer count) and compute
+        # silently wrong plans at eval/resume
         save_checkpoint(opt.checkpoint_path + "/%s_s_ssp/model-tr"
                         % opt.dataset,
                         {"params": trainer.state.params,
-                         "step": np.asarray(step), "epoch": np.asarray(e)})
+                         "step": np.asarray(step), "epoch": np.asarray(e),
+                         "cfg": {"dataset_id": np.asarray(
+                                     0 if opt.dataset == "coco" else 1),
+                                 "hidden_size": np.asarray(cfg.hidden_size),
+                                 "embed_size": np.asarray(cfg.embed_size),
+                                 "encoder_layers":
+                                     np.asarray(cfg.encoder_layers),
+                                 "decoder_layers":
+                                     np.asarray(cfg.decoder_layers),
+                                 "max_len": np.asarray(cfg.max_len)}})
         if opt.max_steps and step >= opt.max_steps:
             break
     print("done.")

@@ -54,13 +54,10 @@ def main(argv=None):
     loader = DataLoader(ds, batch_size=opt.batch_size,
                         num_workers=opt.nb_workers)
 
-    cfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1,
-                         vis_dim=opt.feat_dim)
-    params = init_sinkhorn_params(jax.random.PRNGKey(opt.seed), cfg)
-
     # --start_from resume (same semantics as train_region_sort; ref
-    # train_sinkhorn.py mirrors the region-sort script's restore block)
-    step, start_epoch = 0, 0
+    # train_sinkhorn.py mirrors the region-sort script's restore block).
+    # The ckpt's stored cfg (slice dims) wins over the CLI flags.
+    step, start_epoch, blob = 0, 0, None
     if opt.start_from:
         import os
         from vsrcic_tpu.core.checkpoint import restore_checkpoint
@@ -69,18 +66,25 @@ def main(argv=None):
         if os.path.isdir(cand) or os.path.isfile(cand + ".npz"):
             path = cand
         blob = restore_checkpoint(path)
-        params = blob["params"]
         step = int(blob.get("step", 0))
         start_epoch = int(blob.get("epoch", -1)) + 1
         print("resumed Sinkhorn from %s (epoch %d, step %d)"
               % (path, start_epoch - 1, step))
 
-    mesh = None
-    if opt.data_parallel:
-        from vsrcic_tpu.parallel import make_mesh, replicate
-        mesh = make_mesh(n_data=opt.data_parallel,
-                         devices=jax.devices()[:opt.data_parallel])
-        params = replicate(params, mesh)
+    if blob is not None and "cfg" in blob:
+        c = blob["cfg"]
+        cfg = SinkhornConfig(n=int(c["n"]), n_iters=int(c["n_iters"]),
+                             tau=float(c["tau"]), txt_dim=int(c["txt_dim"]),
+                             vis_dim=int(c["vis_dim"]),
+                             pos_dim=int(c["pos_dim"]))
+    else:
+        cfg = SinkhornConfig(n=opt.sinkhorn_len, n_iters=20, tau=0.1,
+                             vis_dim=opt.feat_dim)
+    params = (blob["params"] if blob is not None
+              else init_sinkhorn_params(jax.random.PRNGKey(opt.seed), cfg))
+
+    from vsrcic_tpu.cli.common import data_parallel_mesh
+    mesh, params = data_parallel_mesh(opt.data_parallel, params)
     norm = "images" if opt.dataset == "coco" else "pairs"
     trainer = SinkhornTrainer(cfg, params, lr=opt.learning_rate,
                               loss_normalization=norm, mesh=mesh)
@@ -121,7 +125,13 @@ def main(argv=None):
         save_checkpoint(opt.checkpoint_path + "/%s_sinkhorn/model-sh"
                         % opt.dataset,
                         {"params": trainer.state.params,
-                         "step": np.asarray(step), "epoch": np.asarray(e)})
+                         "step": np.asarray(step), "epoch": np.asarray(e),
+                         "cfg": {"n": np.asarray(cfg.n),
+                                 "n_iters": np.asarray(cfg.n_iters),
+                                 "tau": np.asarray(cfg.tau),
+                                 "txt_dim": np.asarray(cfg.txt_dim),
+                                 "vis_dim": np.asarray(cfg.vis_dim),
+                                 "pos_dim": np.asarray(cfg.pos_dim)}})
         if opt.max_steps and step >= opt.max_steps:
             break
     print("done.")

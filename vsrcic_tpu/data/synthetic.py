@@ -39,8 +39,12 @@ class ClassSeededStore:
 
     def get(self, image_id):
         key = str(image_id)
+        # stable per-key seed: builtin hash() of a str is randomized per
+        # PROCESS (PYTHONHASHSEED), which made synthetic detections differ
+        # between runs — a flaky-test source caught in round 4
+        import zlib
         rng = np.random.RandomState(
-            abs(hash((self.seed, key))) % (2 ** 31))
+            (zlib.crc32(key.encode()) + self.seed) % (2 ** 31))
         cls_list = self.image_classes.get(key, [1])
         n = self.n_dets
         probs = rng.rand(n, self.n_classes).astype(np.float32) * 0.1
@@ -95,6 +99,8 @@ class SyntheticCOCO:
             self.img_shapes[key] = [640, 480]
             verb = self.verbs[rng.randint(n_verbs)]
             verb_og = verb + "s"
+            verbs_here = [verb]                     # multi-verb branch
+            vlem_here = [[verb, verb_og]]           # overrides these
             if i % 3 == 2:
                 # every 3rd image: TWO entities share ARG0 ("a X and a Y
                 # verbs a Z") — the repeated-SR (need_re_rank) case real
@@ -160,17 +166,8 @@ class SyntheticCOCO:
                 self.img_cap_v_2_class_self.setdefault(key, {})[caption] = {
                     verb: {"ARG0": [int(c1 + 1)], "ARG1": [int(c2 + 1)]},
                     verb2: {"ARG0": [int(c1 + 1)], "ARG1": [int(c3 + 1)]}}
-                self.cap_2_verb.setdefault(key, {})[caption] = [verb, verb2]
-                self.cap_2_verb_v.setdefault(key, {})[caption] = \
-                    [verb, verb2]
-                self.img_caps_vb.setdefault(key, []).append(caption)
-                self.vlem_2_vog.setdefault(key, {})[caption] = \
-                    [[verb, verb_og], [verb2, verb2_og]]
-                split = ("train" if i < n_images else
-                         "val" if i < n_images + n_val else "test")
-                samples[split].append(Example.fromdict(
-                    {"image": image, "text": caption}))
-                continue
+                verbs_here = [verb, verb2]
+                vlem_here = [[verb, verb_og], [verb2, verb2_og]]
             else:
                 c1, c2 = rng.choice(n_classes, 2, replace=False)
                 cls1, cls2 = self.class_names[c1], self.class_names[c2]
@@ -194,10 +191,11 @@ class SyntheticCOCO:
                     [[verb_og], [verb_og], [verb_og]]
                 self.img_cap_v_2_class_self.setdefault(key, {})[caption] = {
                     verb: {"ARG0": [int(c1 + 1)], "ARG1": [int(c2 + 1)]}}
-            self.cap_2_verb.setdefault(key, {})[caption] = [verb]
-            self.cap_2_verb_v.setdefault(key, {})[caption] = [verb]
+            self.cap_2_verb.setdefault(key, {})[caption] = verbs_here
+            self.cap_2_verb_v.setdefault(key, {})[caption] = \
+                list(verbs_here)
             self.img_caps_vb.setdefault(key, []).append(caption)
-            self.vlem_2_vog.setdefault(key, {})[caption] = [[verb, verb_og]]
+            self.vlem_2_vog.setdefault(key, {})[caption] = vlem_here
 
             split = ("train" if i < n_images else
                      "val" if i < n_images + n_val else "test")

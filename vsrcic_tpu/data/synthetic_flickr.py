@@ -42,12 +42,15 @@ class SyntheticFlickr:
             img_id = "20%07d" % i
             image = "flickr30k_images/%s.jpg" % img_id
             self.img_shapes[img_id] = [500, 375]
+            multi = (i % 3 == 2)   # repeated-SR case — see synthetic.py
+            n_ents = 3 if multi else 2
+            # class choice drawn BEFORE the verb to keep the original rng
+            # stream for 2-entity images (content-pinning tests rely on
+            # image 0's entity boxes landing on distinct detections)
+            chosen = rng.choice(n_classes, n_ents, replace=False)
             verb = self.verbs[rng.randint(n_verbs)]
             verb_occ = verb + "_0"
             verb_og = verb + "s"
-            multi = (i % 3 == 2)   # repeated-SR case — see synthetic.py
-            n_ents = 3 if multi else 2
-            chosen = rng.choice(n_classes, n_ents, replace=False)
             names = [self.class_names[c] for c in chosen]
             image_classes[img_id] = [int(c) + 1 for c in chosen]
 

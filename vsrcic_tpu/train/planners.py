@@ -28,8 +28,11 @@ class SSPTrainer:
     def __init__(self, cfg: SSPConfig, params, lr: float = 1e-4, mesh=None):
         """mesh: data-parallel over the group axis (GSPMD). Group counts
         are data-dependent per batch, so non-divisible batches are padded
-        with weight-0 rows — loss EXACTLY equals the unpadded single-device
-        value (row_weights in ssp_forward_loss; tests/test_parallel.py)."""
+        with weight-0 rows: with dropout off the loss EXACTLY equals the
+        unpadded single-device value (row_weights in ssp_forward_loss;
+        tests/test_parallel.py); with dropout active the padded shape draws
+        a different mask, so runs are equivalent-in-distribution, not
+        bit-equal (training-time stochasticity either way)."""
         self.cfg = cfg
         self.tx = adam(lr)
         self.state = init_train_state(params, self.tx)
@@ -80,22 +83,11 @@ class SSPTrainer:
         return (np.asarray(verbs), np.stack(det_list), np.stack(gt_list))
 
     def step(self, verbs, det_sr, gt_sr, rng) -> float:
-        verbs = np.asarray(verbs)
-        det_sr = np.asarray(det_sr)
-        gt_sr = np.asarray(gt_sr)
-        b = verbs.shape[0]
-        row_w = np.ones((b,), np.float32)
+        row_w = np.ones((np.asarray(verbs).shape[0],), np.float32)
         if self.mesh is not None:
-            n = self.mesh.devices.size
-            pad = (-b) % n
-            if pad:
-                verbs = np.concatenate([verbs, np.zeros((pad,) +
-                                        verbs.shape[1:], verbs.dtype)])
-                det_sr = np.concatenate([det_sr, np.zeros((pad,) +
-                                         det_sr.shape[1:], det_sr.dtype)])
-                gt_sr = np.concatenate([gt_sr, np.zeros((pad,) +
-                                        gt_sr.shape[1:], gt_sr.dtype)])
-                row_w = np.concatenate([row_w, np.zeros((pad,), np.float32)])
+            from vsrcic_tpu.parallel.mesh import shard_batch
+            verbs, det_sr, gt_sr, row_w = shard_batch(
+                (verbs, det_sr, gt_sr, row_w), self.mesh)
         self.state, loss = self._train_step(
             self.state, jnp.asarray(verbs), jnp.asarray(det_sr),
             jnp.asarray(gt_sr), rng, jnp.asarray(row_w))
@@ -180,20 +172,14 @@ class SinkhornTrainer:
     def step(self, inputs, tr_locs, gt_locs, n_images: int) -> float:
         denom = float(n_images if self.loss_normalization == "images"
                       else len(inputs))
-        inputs = np.asarray(inputs)
-        tr_locs = np.asarray(tr_locs)
-        gt_locs = np.asarray(gt_locs)
         if self.mesh is not None:
-            # pair counts are data-dependent: pad to the mesh with all-zero
-            # pairs — tr_locs 0 makes resort 0 and gt_locs 0 makes the
+            # pair counts are data-dependent: shard_batch zero-pads to the
+            # mesh — tr_locs 0 makes resort 0 and gt_locs 0 makes the
             # padded (resort - gt)^2 exactly 0, and denom is explicit, so
             # the padded loss EQUALS the unpadded one
-            n = self.mesh.devices.size
-            pad = (-len(inputs)) % n
-            if pad:
-                z = lambda a: np.concatenate(
-                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
-                inputs, tr_locs, gt_locs = z(inputs), z(tr_locs), z(gt_locs)
+            from vsrcic_tpu.parallel.mesh import shard_batch
+            inputs, tr_locs, gt_locs = shard_batch(
+                (inputs, tr_locs, gt_locs), self.mesh)
         self.state, loss = self._train_step(
             self.state, jnp.asarray(inputs), jnp.asarray(tr_locs),
             jnp.asarray(gt_locs), jnp.asarray(denom))
