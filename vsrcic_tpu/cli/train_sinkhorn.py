@@ -16,17 +16,28 @@ from vsrcic_tpu.cli.fields import make_image_field, make_sinkhorn_det_field
 
 
 def main(argv=None):
-    p = base_parser(batch_size=16)
-    p.add_argument("--learning_rate", default=1e-4, type=float)
+    # None sentinels: the reference's two Sinkhorn scripts ship DIFFERENT
+    # defaults (coco train_sinkhorn.py: batch 16, lr 1e-4, stop 20;
+    # flickr train_sinkhorn_flickr.py:28-30,130: batch 100, lr 1e-3,
+    # stop 30) — resolved per --dataset after parsing unless overridden
+    p = base_parser(batch_size=None)
+    p.add_argument("--learning_rate", default=None, type=float)
     p.add_argument("--learning_rate_decay_every", default=3, type=int)
     p.add_argument("--learning_rate_decay_rate", default=0.6, type=float)
-    p.add_argument("--stop_epoch", default=20, type=int)
+    p.add_argument("--stop_epoch", default=None, type=int)
     p.add_argument("--sinkhorn_len", default=10, type=int)
     p.add_argument("--log_dir", default=None, type=str)
     p.add_argument("--data_parallel", default=0, type=int, metavar="N",
                    help="shard training over N devices (group/pair axis; "
                    "non-divisible batches padded value-exactly)")
     opt = p.parse_args(argv)
+    coco = opt.dataset == "coco"
+    if opt.batch_size is None:
+        opt.batch_size = 16 if coco else 100
+    if opt.learning_rate is None:
+        opt.learning_rate = 1e-4 if coco else 1e-3
+    if opt.stop_epoch is None:
+        opt.stop_epoch = 20 if coco else 30
     print(opt)
     ensure_virtual_devices(opt.data_parallel, opt.platform)
     force_platform(opt.platform)
