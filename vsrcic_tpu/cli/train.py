@@ -160,8 +160,18 @@ def main(argv=None):
 
     if opt.sample_rl:
         ref_caps = [e.text for e in train_ex]
-        cider_train = Cider(gts=ptb_tokenize(
-            {i: [c] for i, c in enumerate(ref_caps)}))
+        ref_tok = ptb_tokenize({i: [c] for i, c in enumerate(ref_caps)})
+        cider_train = Cider(gts=ref_tok)
+        native_cider = None
+        import os as _os
+        if bool(int(_os.environ.get("VSRCIC_NATIVE_CIDER", "1"))):
+            try:
+                from vsrcic_tpu.metrics.cider_native import NativeCiderPair
+                native_cider = NativeCiderPair(ref_tok)
+                print("SCST reward: native C++ CIDEr scorer "
+                      "(VSRCIC_NATIVE_CIDER=0 for the Python path)")
+            except OSError:
+                pass   # library not built: Python scorer
         import jax.numpy as jnp
         trainer = CaptionerSCSTTrainer(cfg, params, tf, cider_train,
                                        lr=opt.lr, mesh=mesh,
@@ -169,7 +179,8 @@ def main(argv=None):
                                        fast_decode=opt.fast_decode,
                                        table_dtype=(jnp.bfloat16
                                                     if opt.fast_decode
-                                                    else None))
+                                                    else None),
+                                       native_cider=native_cider)
     else:
         trainer = CaptionerXETrainer(cfg, params, lr=opt.lr, mesh=mesh)
 

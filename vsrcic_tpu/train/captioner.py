@@ -194,15 +194,21 @@ class CaptionerSCSTTrainer:
                  cider: Cider, lr: float = 5e-4, mesh=None,
                  baseline: str = "step", fast_decode: bool = False,
                  table_dtype=None, pallas_interpret: bool = False,
-                 remat: bool = True):
+                 remat: bool = True, native_cider=None):
         """remat: jax.checkpoint the grad pass's per-step internals (same
         gradients, ~1 extra forward in backward) — required for batch 1024+
-        on one chip; see forced_feedback_logprobs."""
+        on one chip; see forced_feedback_logprobs.
+
+        native_cider: optional metrics.cider_native.NativeCiderPair built
+        on the same (tokenized) df corpus as `cider` — takes the per-step
+        reward off the host critical path (values equal to the Python
+        scorer to 1e-12; tests/test_cider_native.py)."""
         if baseline not in ("step", "epoch"):
             raise ValueError("baseline must be 'step' or 'epoch'")
         self.cfg = cfg
         self.text_field = text_field
         self.cider = cider
+        self.native_cider = native_cider
         self.baseline = baseline
         self.tx = adam(lr)
         self.state = init_train_state(params, self.tx)
@@ -367,6 +373,14 @@ class CaptionerSCSTTrainer:
         gts = ptb_tokenize({i: [g] for i, g in enumerate(gt_caps)})
         gen = ptb_tokenize({i: [c] for i, c in enumerate(sampled_caps)})
         base = ptb_tokenize({i: [c] for i, c in enumerate(baseline_caps)})
+        if self.native_cider is not None:
+            # C++ scorer with the df table resident (1e-12-equal to the
+            # Python pair path; tests/test_cider_native.py)
+            r, rb = self.native_cider.score_pair(
+                [gts[i][0] for i in range(len(gt_caps))],
+                [gen[i][0] for i in range(len(gt_caps))],
+                [base[i][0] for i in range(len(gt_caps))])
+            return (r - rb).astype(np.float32)
         # one ref-cook for both decodes (bit-identical to two
         # compute_score calls; ~45% of the per-step host reward time)
         r, rb = self.cider.compute_score_pair(gts, gen, base)
