@@ -18,9 +18,11 @@
 //
 // Build: make -C native   (produces libcider_scorer.so; loaded via ctypes)
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -121,32 +123,50 @@ void cider_df_add(void* handle, const int32_t* words, int n, double value) {
 // Score two hypothesis sets against one gts set (single-ref per key, the
 // SCST configuration). Captions are flattened int32 word ids with offsets
 // (CSR: caption i = words[off[i]:off[i+1]]). Writes per-image CIDEr-D
-// scores (x10) for both hyp sets.
+// scores (x10) for both hyp sets. Keys are independent, so the loop
+// splits over nthreads (the df map is read-only here); per-key values
+// are unaffected by the split.
 void cider_score_pair(void* handle, int64_t n_keys,
                       const int32_t* gt_words, const int64_t* gt_off,
                       const int32_t* a_words, const int64_t* a_off,
                       const int32_t* b_words, const int64_t* b_off,
-                      double* out_a, double* out_b) {
+                      double* out_a, double* out_b, int nthreads) {
   auto* s = static_cast<Scorer*>(handle);
-  for (int64_t i = 0; i < n_keys; ++i) {
-    std::unordered_map<uint64_t, double> cnt_r[N_MAX];
-    count_ngrams(gt_words + gt_off[i],
-                 static_cast<int>(gt_off[i + 1] - gt_off[i]), cnt_r);
-    Vec ref;
-    counts2vec(cnt_r, *s, ref);
+  auto worker = [&](int64_t begin, int64_t end) {
+    for (int64_t i = begin; i < end; ++i) {
+      std::unordered_map<uint64_t, double> cnt_r[N_MAX];
+      count_ngrams(gt_words + gt_off[i],
+                   static_cast<int>(gt_off[i + 1] - gt_off[i]), cnt_r);
+      Vec ref;
+      counts2vec(cnt_r, *s, ref);
 
-    const int32_t* hw[2] = {a_words + a_off[i], b_words + b_off[i]};
-    const int hl[2] = {static_cast<int>(a_off[i + 1] - a_off[i]),
-                       static_cast<int>(b_off[i + 1] - b_off[i])};
-    double* outs[2] = {out_a + i, out_b + i};
-    for (int j = 0; j < 2; ++j) {
-      std::unordered_map<uint64_t, double> cnt_h[N_MAX];
-      count_ngrams(hw[j], hl[j], cnt_h);
-      Vec hyp;
-      counts2vec(cnt_h, *s, hyp);
-      *outs[j] = sim_score(hyp, ref) / N_MAX * 10.0;
+      const int32_t* hw[2] = {a_words + a_off[i], b_words + b_off[i]};
+      const int hl[2] = {static_cast<int>(a_off[i + 1] - a_off[i]),
+                         static_cast<int>(b_off[i + 1] - b_off[i])};
+      double* outs[2] = {out_a + i, out_b + i};
+      for (int j = 0; j < 2; ++j) {
+        std::unordered_map<uint64_t, double> cnt_h[N_MAX];
+        count_ngrams(hw[j], hl[j], cnt_h);
+        Vec hyp;
+        counts2vec(cnt_h, *s, hyp);
+        *outs[j] = sim_score(hyp, ref) / N_MAX * 10.0;
+      }
     }
+  };
+  if (nthreads < 1) nthreads = 1;
+  nthreads = static_cast<int>(
+      std::min<int64_t>(nthreads, std::max<int64_t>(n_keys, 1)));
+  if (nthreads == 1) {
+    worker(0, n_keys);
+    return;
   }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n_keys + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t b = t * chunk, e = std::min<int64_t>(n_keys, b + chunk);
+    if (b < e) ts.emplace_back(worker, b, e);
+  }
+  for (auto& th : ts) th.join();
 }
 
 }  // extern "C"

@@ -48,7 +48,8 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int]
         _LIB = lib
     return _LIB
 
@@ -126,10 +127,11 @@ class NativeCiderPair:
         bw, bo = self._pack(b_caps)
         out_a = np.zeros(n, np.float64)
         out_b = np.zeros(n, np.float64)
+        nthreads = min(os.cpu_count() or 1, 16)
         self._lib.cider_score_pair(
             self._handle, ctypes.c_int64(n), _i32p(gw), _i64p(go),
             _i32p(aw), _i64p(ao), _i32p(bw), _i64p(bo),
-            _f64p(out_a), _f64p(out_b))
+            _f64p(out_a), _f64p(out_b), ctypes.c_int(nthreads))
         return out_a, out_b
 
 
