@@ -35,10 +35,20 @@ def main():
     groups = jnp.asarray(rng.rand(B, 10, 20, D).astype(np.float32))
 
     fast = bool(int(os.environ.get("VSRCIC_SCST_FAST", "0")))
+    native = None
+    if bool(int(os.environ.get("VSRCIC_NATIVE_CIDER", "1"))):
+        try:
+            from vsrcic_tpu.metrics.cider_native import NativeCiderPair
+            native = NativeCiderPair(
+                ptb_tokenize({i: [c] for i, c in enumerate(caps)}))
+            print("# native C++ CIDEr reward")
+        except OSError:
+            pass
     for mode in ("step", "epoch"):
         tr = CaptionerSCSTTrainer(cfg, params, tf, cider, lr=5e-4,
                                   baseline=mode, fast_decode=fast,
-                                  table_dtype=jnp.bfloat16 if fast else None)
+                                  table_dtype=jnp.bfloat16 if fast else None,
+                                  native_cider=native)
         base = tr.epoch_baseline_caps(dets, groups) if mode == "epoch" else None
         tr.step(dets, groups, caps, jax.random.PRNGKey(0), baseline_caps=base)
         n = 5 if on_tpu else 1
