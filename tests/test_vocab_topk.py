@@ -189,7 +189,8 @@ def test_vocab_tables_prepared_once_and_keyed_by_pad_shape(monkeypatch):
     w_p, b_p = cap._vocab_tables(fn)
     assert w_p.shape == (fn.r_pad, fn.v_pad)       # prepared, not raw (R, V)
     assert b_p.shape == (1, fn.v_pad)
-    assert cap._vocab_tables(fn) is not (None,)    # cached path
+    w_p2, b_p2 = cap._vocab_tables(fn)             # cached path
+    assert w_p2 is w_p and b_p2 is b_p             # same prepared arrays
     assert cap._vocab_tables_cache[0] == ("pallas", fn.v_pad)
 
     monkeypatch.setenv("VSRCIC_VOCAB_TILE", "256")
