@@ -35,15 +35,8 @@ def main():
     groups = jnp.asarray(rng.rand(B, 10, 20, D).astype(np.float32))
 
     fast = bool(int(os.environ.get("VSRCIC_SCST_FAST", "0")))
-    native = None
-    if bool(int(os.environ.get("VSRCIC_NATIVE_CIDER", "1"))):
-        try:
-            from vsrcic_tpu.metrics.cider_native import NativeCiderPair
-            native = NativeCiderPair(
-                ptb_tokenize({i: [c] for i, c in enumerate(caps)}))
-            print("# native C++ CIDEr reward")
-        except OSError:
-            pass
+    from vsrcic_tpu.metrics.cider_native import maybe_native
+    native = maybe_native(cider)
     for mode in ("step", "epoch"):
         tr = CaptionerSCSTTrainer(cfg, params, tf, cider, lr=5e-4,
                                   baseline=mode, fast_decode=fast,

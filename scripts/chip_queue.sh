@@ -19,7 +19,7 @@ LOG=/tmp/chip_queue.log
   VSRCIC_XE_BATCHES=512,1024,2048 timeout 3600 python scripts/bench_xe.py
   #    lean=False comparison at the old sizes (expand-once residuals)
   VSRCIC_XE_LEAN=0 VSRCIC_XE_BATCHES=512 timeout 1800 python scripts/bench_xe.py
-  # 4. SCST at 1024 (remat default on; host reward now 162 ms warm)
+  # 4. SCST at 1024 (remat default on; native C++ reward ~50 ms/1024)
   VSRCIC_SCST_BATCH=1024 timeout 3600 python scripts/bench_scst.py
   # 5. pipeline throughput (expect >=3151)
   timeout 3600 python scripts/bench_pipeline.py

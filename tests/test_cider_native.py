@@ -2,7 +2,9 @@
 
 The native scorer exists only to take the SCST reward off the RL step's
 host critical path; it must reproduce the Python values to float64
-round-off (term-summation order is the only difference)."""
+round-off (term-summation order is the only difference). It is built FROM
+the Python Cider instance (df table reused, parameters validated) so the
+two cannot silently diverge."""
 import numpy as np
 import pytest
 
@@ -34,7 +36,7 @@ def test_native_matches_python(seed):
         {i: [c] for i, c in enumerate(gen)},
         {i: [c] for i, c in enumerate(base)})
 
-    nat = cider_native.NativeCiderPair(corpus)
+    nat = cider_native.NativeCiderPair(py)
     r_nat, rb_nat = nat.score_pair(gt, gen, base)
     np.testing.assert_allclose(r_nat, r_py, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(rb_nat, rb_py, rtol=1e-12, atol=1e-12)
@@ -42,9 +44,9 @@ def test_native_matches_python(seed):
 
 def test_native_edge_cases():
     corpus = ["a dog runs", "a cat sits"]
-    nat = cider_native.NativeCiderPair(corpus)
     py = Cider(gts=corpus)
-    # identical / disjoint / empty-ish hypotheses
+    nat = cider_native.NativeCiderPair(py)
+    # identical / disjoint (unseen words) / near-empty hypotheses
     gt = ["a dog runs", "a cat sits"]
     gen = ["a dog runs", "entirely different words here"]
     base = ["a", "a cat sits"]
@@ -55,3 +57,24 @@ def test_native_edge_cases():
     r, rb = nat.score_pair(gt, gen, base)
     np.testing.assert_allclose(r, r_py, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(rb, rb_py, rtol=1e-12, atol=1e-12)
+
+
+def test_native_rejects_incompatible_cider():
+    # per-batch-df mode (no corpus) must stay on the Python scorer
+    with pytest.raises(ValueError):
+        cider_native.NativeCiderPair(Cider())
+    # non-default CIDEr parameters are not implemented natively
+    with pytest.raises(ValueError):
+        cider_native.NativeCiderPair(Cider(gts=["a b"], sigma=3.0))
+    nat = cider_native.NativeCiderPair(Cider(gts=["a b c"]))
+    with pytest.raises(ValueError):   # hard error, not a strippable assert
+        nat.score_pair(["a b"], ["a"], ["a", "b"])
+
+
+def test_maybe_native_knob(monkeypatch):
+    py = Cider(gts=["a dog runs"])
+    assert cider_native.maybe_native(py, verbose=False) is not None
+    monkeypatch.setenv("VSRCIC_NATIVE_CIDER", "0")
+    assert cider_native.maybe_native(py, verbose=False) is None
+    monkeypatch.delenv("VSRCIC_NATIVE_CIDER")
+    assert cider_native.maybe_native(Cider(), verbose=False) is None

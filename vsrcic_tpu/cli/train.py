@@ -162,16 +162,8 @@ def main(argv=None):
         ref_caps = [e.text for e in train_ex]
         ref_tok = ptb_tokenize({i: [c] for i, c in enumerate(ref_caps)})
         cider_train = Cider(gts=ref_tok)
-        native_cider = None
-        import os as _os
-        if bool(int(_os.environ.get("VSRCIC_NATIVE_CIDER", "1"))):
-            try:
-                from vsrcic_tpu.metrics.cider_native import NativeCiderPair
-                native_cider = NativeCiderPair(ref_tok)
-                print("SCST reward: native C++ CIDEr scorer "
-                      "(VSRCIC_NATIVE_CIDER=0 for the Python path)")
-            except OSError:
-                pass   # library not built: Python scorer
+        from vsrcic_tpu.metrics.cider_native import maybe_native
+        native_cider = maybe_native(cider_train)
         import jax.numpy as jnp
         trainer = CaptionerSCSTTrainer(cfg, params, tf, cider_train,
                                        lr=opt.lr, mesh=mesh,

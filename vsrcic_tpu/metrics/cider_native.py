@@ -2,27 +2,26 @@
 
 The SCST reward computes CIDEr inside every RL step (reference
 coco_scripts/train.py:169-170); the Python scorer's warm path still costs
-~160 ms per 1024-caption reward on dict-of-tuple ngram math. This wrapper
-keeps the corpus document-frequency table resident in C++ and scores the
-sampled+baseline decodes from interned word-id arrays.
+~160-330 ms per 1024-caption reward on dict-of-tuple ngram math. This
+wrapper keeps the corpus document-frequency table resident in C++ and
+scores the sampled+baseline decodes from interned word-id arrays.
 
 Scope: the SCST configuration only — corpus-precomputed df, ONE reference
-per key, both hypothesis sets scored against the same gts. Falls back to
-unavailability (caller keeps the Python scorer) when the shared library
-is missing. Values match metrics/cider.py to float64 round-off (pinned at
-1e-12 in tests/test_cider_native.py; term-summation order differs, which
-is the entire difference).
+per key, both hypothesis sets scored against the same gts, the default
+n=4 / sigma=6 CIDEr-D parameters (construction validates all of this
+against the paired Cider instance). Values match metrics/cider.py to
+float64 round-off (pinned at 1e-12 in tests/test_cider_native.py;
+term-summation order differs, which is the entire difference).
 """
 from __future__ import annotations
 
 import ctypes
-import math
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 
-from vsrcic_tpu.metrics.cider import _ngram_counts
+from vsrcic_tpu.metrics.cider import Cider
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -40,9 +39,10 @@ def _load():
         lib.cider_new.restype = ctypes.c_void_p
         lib.cider_new.argtypes = [ctypes.c_double]
         lib.cider_free.argtypes = [ctypes.c_void_p]
-        lib.cider_df_add.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-            ctypes.c_double]
+        lib.cider_df_load_csr.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64]
         lib.cider_score_pair.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
@@ -69,30 +69,39 @@ def _f64p(a):
 class NativeCiderPair:
     """Stateful corpus-df CIDEr-D pair scorer (SCST reward configuration).
 
-    df_refs: the corpus references ({key: [strings]} or list of lists),
-    exactly what ``Cider(gts=...)`` takes upstream (ref train.py:67).
+    Build with ``NativeCiderPair(cider)`` from the SAME corpus-df Cider
+    the trainer scores with — the df table is taken from it directly (no
+    recomputation) and the parameters are validated, so native and Python
+    rewards cannot silently diverge.
     """
 
-    def __init__(self, df_refs):
+    def __init__(self, cider: Cider):
+        sc = cider.scorer
+        if sc.doc_frequency is None:
+            raise ValueError(
+                "native CIDEr requires a corpus-df Cider (Cider(gts=...), "
+                "ref train.py:67); per-batch-df mode stays on the Python "
+                "scorer")
+        if sc.n != 4 or sc.sigma != 6.0:
+            raise ValueError(
+                "native CIDEr implements the default n=4/sigma=6 CIDEr-D; "
+                "got n=%d sigma=%s" % (sc.n, sc.sigma))
         self._lib = _load()
         self._intern: Dict[str, int] = {}
-        if isinstance(df_refs, dict):
-            df_refs = list(df_refs.values())
-        df_refs = [r if isinstance(r, (list, tuple)) else [r]
-                   for r in df_refs]
-        # document frequency exactly as CiderScorer.precompute_df
-        df: Dict[tuple, float] = {}
-        for refs in df_refs:
-            seen = set(ng for ref in refs
-                       for ng in _ngram_counts(ref.split(), 4))
-            for ng in seen:
-                df[ng] = df.get(ng, 0.0) + 1.0
-        self._handle = ctypes.c_void_p(
-            self._lib.cider_new(math.log(float(len(df_refs)))))
-        for ng, val in df.items():
-            ids = np.asarray([self._wid(w) for w in ng], np.int32)
-            self._lib.cider_df_add(self._handle, _i32p(ids), len(ng),
-                                   ctypes.c_double(val))
+        self._handle = ctypes.c_void_p(self._lib.cider_new(sc.ref_len))
+        # pack the ALREADY-COMPUTED df into CSR and load it in one call
+        # (a per-ngram ctypes loop measured 10 us/ngram)
+        ids: List[int] = []
+        off = np.zeros(len(sc.doc_frequency) + 1, np.int64)
+        vals = np.zeros(len(sc.doc_frequency), np.float64)
+        for i, (ng, val) in enumerate(sc.doc_frequency.items()):
+            ids.extend(self._wid(w) for w in ng)
+            off[i + 1] = len(ids)
+            vals[i] = val
+        words = np.asarray(ids, np.int32)
+        self._lib.cider_df_load_csr(self._handle, _i32p(words), _i64p(off),
+                                    _f64p(vals),
+                                    ctypes.c_int64(len(vals)))
 
     def __del__(self):
         try:
@@ -121,7 +130,11 @@ class NativeCiderPair:
         """Per-image CIDEr-D (x10) for two hypothesis lists vs one GT list
         (single reference per image, the SCST reward shape)."""
         n = len(gt_caps)
-        assert len(a_caps) == n and len(b_caps) == n
+        if len(a_caps) != n or len(b_caps) != n:
+            # hard error (not assert): a stripped assert under python -O
+            # would let mismatched CSR lengths reach C++ and read OOB
+            raise ValueError("caption list lengths differ: gt=%d a=%d b=%d"
+                             % (n, len(a_caps), len(b_caps)))
         gw, go = self._pack(gt_caps)
         aw, ao = self._pack(a_caps)
         bw, bo = self._pack(b_caps)
@@ -133,6 +146,23 @@ class NativeCiderPair:
             _i32p(aw), _i64p(ao), _i32p(bw), _i64p(bo),
             _f64p(out_a), _f64p(out_b), ctypes.c_int(nthreads))
         return out_a, out_b
+
+
+def maybe_native(cider: Cider, verbose: bool = True):
+    """The shared opt-in: returns a NativeCiderPair for ``cider`` when the
+    library is built and VSRCIC_NATIVE_CIDER != 0, else None (callers keep
+    the Python scorer). One definition of the knob name/default/fallback
+    for the train CLI and bench_scst."""
+    if not bool(int(os.environ.get("VSRCIC_NATIVE_CIDER", "1"))):
+        return None
+    try:
+        nat = NativeCiderPair(cider)
+    except (OSError, ValueError):
+        return None
+    if verbose:
+        print("SCST reward: native C++ CIDEr scorer "
+              "(VSRCIC_NATIVE_CIDER=0 for the Python path)")
+    return nat
 
 
 def available() -> bool:
