@@ -160,15 +160,13 @@ def _fused_input1_block(fused_w, input_1, h1_prev, c1_prev, rnn_size,
     """Two fused passes: returns (s_gate, g_pre_x, h1, c1); the caller
     finishes g_gate = sigmoid(g_pre_x + W1_hg(h1)).
 
-    img_y: hoisted image-descriptor contribution (incl. bx) — input_1
-    must then EXCLUDE the image slice (wx_nimg weights). Shape (rows, 6R)
-    or UNEXPANDED (items, 6R) with rows = items*beam: beam-expanded rows
-    are item-major, so the per-item contribution is added through a
-    (items, beam, 6R) broadcast view instead of a per-step row gather —
-    bit-exact (identical operand pairs) but fusable into the matmul
-    epilogue, where the explicit gather forced XLA to materialize a
-    separate (rows, 6R) pass every step (profiled 'img_y expand' 0.20 +
-    'x-proj slice-add' 0.24 ms/step glue, docs/ENGINEERING_NOTES)."""
+    img_y: hoisted image-descriptor contribution (incl. bx), shape
+    (rows, 6R) — input_1 must then EXCLUDE the image slice (wx_nimg
+    weights). Callers expand per-item img_y to beam rows with a
+    loop-invariant gather (hoisted out of the scan by XLA); an unexpanded
+    (items, beam, 6R) broadcast-view add was tried here and rejected
+    on-chip (−9% end-to-end: the reshapes broke epilogue fusion —
+    docs/ENGINEERING_NOTES.md round-4 A/B)."""
     r = rnn_size
     wx = fused_w["wx_nimg"] if img_y is not None else fused_w["wx"]
     if wx.dtype != input_1.dtype:  # bf16-weight fast path
@@ -177,14 +175,7 @@ def _fused_input1_block(fused_w, input_1, h1_prev, c1_prev, rnn_size,
     else:
         y_x = input_1 @ wx.T                              # (B, 6R)
         y_h = h1_prev @ fused_w["wh"].T + fused_w["bh"]   # (B, 5R)
-    if img_y is None:
-        y_x = y_x + fused_w["bx"]
-    elif img_y.shape[0] != y_x.shape[0]:
-        rows, items = y_x.shape[0], img_y.shape[0]
-        y_x = (y_x.reshape(items, rows // items, -1)
-               + img_y[:, None, :]).reshape(rows, -1)
-    else:
-        y_x = y_x + img_y
+    y_x = y_x + (fused_w["bx"] if img_y is None else img_y)
     s_gate = jax.nn.sigmoid(y_x[:, :r] + y_h[:, :r])
     g_pre_x = y_x[:, r:2 * r]
     gates = y_x[:, 2 * r:] + y_h[:, r:]
@@ -315,10 +306,18 @@ def _step_core_fused(params, cfg: CaptionerConfig, state: CaptionerState,
     xt = nn.embedding(params["embed"], it)
     img_y_row = getattr(statics, "img_y", None)
     if img_y_row is not None and fused_w is not None and "wx_nimg" in fused_w:
-        # hoisted-img path: img projection precomputed per item (statics);
-        # passed UNEXPANDED — _fused_input1_block adds it through an
-        # (items, beam, 6R) broadcast view (beam rows are item-major),
-        # killing the per-step row gather the profiler flagged
+        # hoisted-img path: img projection precomputed per item (statics).
+        # Beam rows gather it to (rows, 6R) with a loop-invariant index —
+        # XLA hoists the gather out of the scan, so it costs one expand per
+        # decode, not per step. The "smarter" alternative (pass UNEXPANDED
+        # and add through an (items, beam, 6R) broadcast view inside the
+        # fused block) was A/B'd on-chip and REJECTED: the reshape pair
+        # around the add broke XLA's epilogue fusion and cost ~9%
+        # end-to-end (7401/7427 vs 8111 caps/s, 2026-08-18 tunnel;
+        # docs/ENGINEERING_NOTES.md).
+        if img_y_row.shape[0] != state.h1.shape[0]:
+            item = jnp.arange(state.h1.shape[0], dtype=jnp.int32) // beam
+            img_y_row = img_y_row[item]
         input_1p = (jnp.concatenate([state.h2, xt], 1) if cfg.h2_first_lstm
                     else xt)
         s_gate, g_pre_x, h1, c1 = _fused_input1_block(
