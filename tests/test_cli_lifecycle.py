@@ -49,10 +49,13 @@ def test_cli_lifecycle_coco(tmp_path, capsys):
     for name in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr",
                  "METEOR", "SPICE"):
         assert name in out, name
-    # METEOR is scored (native fallback), never 'unavailable'
+    # METEOR and SPICE are scored (native fallbacks), never 'unavailable'
+    # — the table is 9/9 metrics with zero provisioning
     assert "METEOR unavailable" not in out
-    meteor_line = [l for l in out.splitlines() if l.startswith("METEOR")][0]
-    assert 0.0 <= float(meteor_line.split()[-1]) <= 1.0
+    assert "SPICE unavailable" not in out
+    for prefix in ("METEOR", "SPICE"):
+        line = [l for l in out.splitlines() if l.startswith(prefix)][0]
+        assert 0.0 <= float(line.split()[-1]) <= 1.0, line
     assert "decoded" in out          # throughput line
     assert isinstance(cider, float)
 

@@ -58,7 +58,8 @@ def main(argv=None):
     from vsrcic_tpu.core.checkpoint import restore_checkpoint
     from vsrcic_tpu.data import DataLoader, DictionaryDataset, RawField
     from vsrcic_tpu.metrics import (Bleu, Cider, ExternalMetricUnavailable,
-                                    Meteor, NativeMeteor, Rouge, Spice)
+                                    Meteor, NativeMeteor, NativeSpice, Rouge,
+                                    Spice)
     from vsrcic_tpu.models.api import ControllableCaptioner
     from vsrcic_tpu.models.captioner import CaptionerConfig
     from vsrcic_tpu.models.s_ssp import SSPConfig, init_ssp_params
@@ -250,8 +251,12 @@ def main(argv=None):
     try:
         val_spice, _ = Spice().compute_score(gts_t, gen_t)
         print("SPICE", val_spice)
-    except ExternalMetricUnavailable as err:
-        print("SPICE unavailable: %s" % err)
+    except ExternalMetricUnavailable:
+        # no spice-1.0.jar configured: native SPICE (exact scoring model,
+        # caption-grammar scene-graph parser — metrics/spice.py docstring
+        # records the parser-level divergences)
+        val_spice, _ = NativeSpice().compute_score(gts_t, gen_t)
+        print("SPICE(native)", val_spice)
     return val_cider
 
 
