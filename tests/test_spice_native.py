@@ -51,6 +51,14 @@ def test_parser_golden(caption, expected):
     assert set(parse_scene_graph(caption)) == expected
 
 
+def test_gerund_modifier_matches_trailing_verb():
+    # "a running dog" and "a dog running" must yield the same tuples —
+    # gerund NP modifiers lemmatize like verbs
+    assert parse_scene_graph("a running dog") \
+        == parse_scene_graph("a dog running") \
+        == frozenset({("dog",), ("dog", "run")})
+
+
 def test_parser_deterministic_and_set_semantics():
     g1 = parse_scene_graph("a dog and a dog running")
     g2 = parse_scene_graph("a dog and a dog running")

@@ -265,6 +265,10 @@ def parse_scene_graph(caption: str) -> Tuples:
             else _lemma_noun(head)
         objects.add((head_l,))
         for m in mods:
+            # gerund modifiers lemmatize like verbs so "a running dog"
+            # and "a dog running" yield the same (dog, run) tuple
+            if m.endswith("ing") and m not in GERUND_NOUNS and len(m) > 4:
+                m = _lemma_verb(m)
             attrs.add((head_l, NUMBERS.get(m, m)))
 
         if kind == "verb" and subj_group:
