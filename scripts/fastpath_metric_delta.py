@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--images", type=int, default=48)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--rnn_size", type=int, default=32)
+    ap.add_argument("--att_size", type=int, default=16,
+                    help="use 128 on TPU so --fused passes the kernel's"
+                    " 128-lane alignment (api.py falls back to the XLA"
+                    " step otherwise and the delta won't cover the kernel)")
     ap.add_argument("--platform", type=str, default=None,
                     help="cpu to force CPU; default = whatever jax has")
     args = ap.parse_args()
@@ -76,7 +80,8 @@ def main():
         on_tpu = probe_backend(timeout=150.0) != "cpu"
     tiny = ["--synthetic", "--synthetic_images", str(args.images),
             "--batch_size", "16", "--seed", "7",
-            "--rnn_size", str(args.rnn_size), "--att_size", "16",
+            "--rnn_size", str(args.rnn_size), "--att_size",
+            str(args.att_size),
             "--input_encoding_size", "32"]
     if args.platform:
         tiny += ["--platform", args.platform]

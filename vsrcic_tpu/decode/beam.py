@@ -173,7 +173,8 @@ def beam_search_joint_candidates(step_fn: Callable, state: Any, batch: int,
                                  beam_size: int, seq_len: int, eos_word: int,
                                  vocab_size: int,
                                  eos_gate: int = -1,
-                                 gather_take_along: bool = False) -> BeamResult:
+                                 gather_take_along: bool = False,
+                                 select_passenger: bool = False) -> BeamResult:
     """Candidate-based joint beam search — same selection as
     `beam_search_joint` without ever scoring the dense (beam x vocab x gate)
     space.
@@ -195,6 +196,15 @@ def beam_search_joint_candidates(step_fn: Callable, state: Any, batch: int,
     `old_seq_logprob[:, :, 1:] = -999` (ref CaptioningModel.py:231-235).
     Ties are broken exactly like the dense flat top-k via a two-key
     `lax.sort` on (-score, flat virtual index beam*V*2 + word*2 + gate).
+
+    select_passenger: carry wlp/glp through the sort as passenger operands
+    and derive beam/word/gate arithmetically from the sorted vidx key,
+    instead of sorting a position iota and doing four take_along_axis
+    gathers afterwards. Bit-exact either way: every output is a sort key,
+    a passenger, or pure integer arithmetic on the vidx key, and (score,
+    vidx) ties can only occur between entries whose derived outputs are
+    identical (candidate ids are distinct within a row; a duplicated vidx
+    across slots implies equal wlp too).
     """
     k = beam_size
     v2 = vocab_size * 2
@@ -221,6 +231,21 @@ def beam_search_joint_candidates(step_fn: Callable, state: Any, batch: int,
         n = kk * c * 2
         flat_score = score.reshape(b, n)
         flat_vidx = vidx.reshape(b, n)
+        if select_passenger:
+            flat_wlp = jnp.broadcast_to(
+                cand_wlp[:, :, :, None], score.shape).reshape(b, n)
+            flat_glp = jnp.broadcast_to(
+                g[:, :, None, :], score.shape).reshape(b, n)
+            neg_s, svidx, s_wlp, s_glp = jax.lax.sort(
+                (-flat_score, flat_vidx, flat_wlp, flat_glp), num_keys=2)
+            sel_score = -neg_s[:, :k]
+            vidx_k = svidx[:, :k]                          # (B, K)
+            sel_beam = vidx_k // v2
+            rem = vidx_k - sel_beam * v2
+            word = rem // 2
+            gate = rem - word * 2
+            return (sel_score, sel_beam, word.astype(jnp.int32),
+                    gate.astype(jnp.int32), s_wlp[:, :k], s_glp[:, :k])
         pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
                                (b, n))
         _, _, sel_pos = jax.lax.sort(

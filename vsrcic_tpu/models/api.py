@@ -41,7 +41,8 @@ class ControllableCaptioner:
                  decode_dtype=None, use_fused_attention: bool = False,
                  table_dtype=None, use_vocab_topk=False, step_dtype=None,
                  pallas_interpret: bool = False,
-                 beam_gather_take_along: Optional[bool] = None):
+                 beam_gather_take_along: Optional[bool] = None,
+                 beam_select_passenger: Optional[bool] = None):
         """decode_dtype: cast params for decode (measured SLOWER on TPU than
         default-precision fp32 — see docs/ENGINEERING_NOTES.md; kept as an
         option). table_dtype: storage dtype for the beam statics tables
@@ -74,6 +75,17 @@ class ControllableCaptioner:
             beam_gather_take_along = bool(int(
                 os.environ.get("VSRCIC_BEAM_TAKE_ALONG", "0")))
         self.beam_gather_take_along = beam_gather_take_along
+        # candidate-beam joint select form: passenger-operand sort (True —
+        # wlp/glp ride the sort, beam/word/gate derived from the vidx key)
+        # vs position-iota sort + four take_along gathers (False). Bit-exact
+        # either way (see decode/beam.py); on-chip A/B 8427 vs 8102 caps/s
+        # (scripts/ab_select_passenger.py) — passenger is the default.
+        # Env honored once, at construction.
+        if beam_select_passenger is None:
+            import os
+            beam_select_passenger = bool(int(
+                os.environ.get("VSRCIC_SELECT_PASSENGER", "1")))
+        self.beam_select_passenger = beam_select_passenger
         self._fused_cache = {}
         self.decode_dtype = decode_dtype
         self.table_dtype = table_dtype
@@ -155,6 +167,19 @@ class ControllableCaptioner:
                 " falling back to the XLA step (pad the batch to get the"
                 " fused kernel)" % (detections.shape[0] * beam),
                 stacklevel=2)
+            return statics, None, None
+        if ((det_groups.shape[3] % 128 or self.cfg.att_size % 128)
+                and not self.pallas_interpret):
+            # the kernel's HBM->VMEM row copies slice the feature (D) and
+            # attention (A) axes as whole lanes, so both must be multiples
+            # of the 128-lane tiling (reference sizes: D=2048, A=512).
+            # Tiny test-model shapes (e.g. A=16) would fail Mosaic layout
+            # checks at compile — fall back to the XLA step instead.
+            import warnings
+            warnings.warn(
+                "use_fused_attention: feature dim %d / att_size %d not"
+                " 128-aligned; falling back to the XLA step"
+                % (det_groups.shape[3], self.cfg.att_size), stacklevel=2)
             return statics, None, None
         fused = self._fused_fn(detections.shape[0], det_groups.shape[1],
                                det_groups.shape[2], det_groups.shape[3],
@@ -260,7 +285,8 @@ class ControllableCaptioner:
                 step_fn, init_state(self.cfg, b * beam_size), b, beam_size,
                 self.cfg.seq_len, eos_word=eos_word,
                 vocab_size=self.cfg.vocab_size,
-                gather_take_along=self.beam_gather_take_along)
+                gather_take_along=self.beam_gather_take_along,
+                select_passenger=self.beam_select_passenger)
 
         def step_fn(state, pw, pg, t0):
             return captioner_step_v(params, self.cfg, state, statics,
