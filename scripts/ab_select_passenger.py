@@ -25,7 +25,7 @@ def main():
                           rnn_size=1000, att_size=512)
     L, M, N_DET = 10, 20, 50
     key = jax.random.PRNGKey(0)
-    kd, kg, kv = jax.random.split(key, 3)
+    kd, kg, kv, kvid = jax.random.split(key, 4)
     detections = jax.random.normal(kd, (batch, N_DET, cfg.det_feat_size),
                                    jnp.float32)
     det_groups = jnp.pad(
@@ -33,7 +33,7 @@ def main():
         .astype(jnp.bfloat16), [(0, 0), (0, 0), (0, (-M) % 8), (0, 0)])
     verb_list = jnp.where(
         jax.random.uniform(kv, (batch, L)) < 0.15,
-        jax.random.randint(kv, (batch, L), 1, 150), -1).astype(jnp.int32)
+        jax.random.randint(kvid, (batch, L), 1, 150), -1).astype(jnp.int32)
 
     runners = []
     ref_words = None

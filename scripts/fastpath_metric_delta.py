@@ -60,10 +60,12 @@ def main():
     ap.add_argument("--images", type=int, default=48)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--rnn_size", type=int, default=32)
-    ap.add_argument("--att_size", type=int, default=16,
-                    help="use 128 on TPU so --fused passes the kernel's"
-                    " 128-lane alignment (api.py falls back to the XLA"
-                    " step otherwise and the delta won't cover the kernel)")
+    ap.add_argument("--att_size", type=int, default=None,
+                    help="default: 128 on TPU (so --fused passes the"
+                    " kernel's 128-lane alignment and the delta covers the"
+                    " kernel), 16 on CPU; api.py falls back to the XLA step"
+                    " for unaligned sizes, so an explicit unaligned value"
+                    " on TPU gets a loud notice")
     ap.add_argument("--platform", type=str, default=None,
                     help="cpu to force CPU; default = whatever jax has")
     args = ap.parse_args()
@@ -78,6 +80,13 @@ def main():
         # (probe is hang-safe; a dead tunnel fails fast with a diagnostic)
         from vsrcic_tpu.utils.retry import probe_backend
         on_tpu = probe_backend(timeout=150.0) != "cpu"
+    if args.att_size is None:
+        args.att_size = 128 if on_tpu else 16
+    elif on_tpu and args.att_size % 128:
+        print("NOTICE: --att_size=%d is not 128-aligned, so --fused will"
+              " fall back to the XLA step and the fast/strict delta will"
+              " NOT cover the Pallas kernel." % args.att_size,
+              file=sys.stderr)
     tiny = ["--synthetic", "--synthetic_images", str(args.images),
             "--batch_size", "16", "--seed", "7",
             "--rnn_size", str(args.rnn_size), "--att_size",

@@ -198,3 +198,32 @@ def test_vocab_tables_prepared_once_and_keyed_by_pad_shape(monkeypatch):
     assert fn2.v_pad != fn.v_pad
     w_p2, _ = cap._vocab_tables(fn2)
     assert w_p2.shape == (fn2.r_pad, fn2.v_pad)    # re-prepared on key change
+
+
+@pytest.mark.parametrize("gt", [False, True])
+def test_candidate_beam_select_forms_bit_exact(gt):
+    """The candidate beam's two joint-select forms — passenger-operand sort
+    (the on-chip-faster default) vs position-iota sort + take_along gathers —
+    must produce bit-identical BeamResults (ADVICE r4: the non-default
+    iota+take form previously had only on-chip A/B coverage)."""
+    cfg = CaptionerConfig(seq_len=T, vocab_size=V, bos_idx=BOS,
+                          det_feat_size=D, input_encoding_size=E,
+                          rnn_size=R, att_size=A)
+    base = ControllableCaptioner(cfg, key=jax.random.PRNGKey(0),
+                                 verb_2_vob_all=VERB_TABLE,
+                                 use_vocab_topk="xla",
+                                 beam_select_passenger=True)
+    iota = ControllableCaptioner(cfg, params=base.params,
+                                 verb_2_vob_all=VERB_TABLE,
+                                 use_vocab_topk="xla",
+                                 beam_select_passenger=False)
+    detections, groups, verb_list = _inputs(13)
+    for beam in (3, 5):
+        rp = base.beam_search_v(detections, groups, verb_list,
+                                eos_word=EOS, beam_size=beam, gt=gt)
+        ri = iota.beam_search_v(detections, groups, verb_list,
+                                eos_word=EOS, beam_size=beam, gt=gt)
+        for field in rp._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(rp, field)),
+                np.asarray(getattr(ri, field)), err_msg=field)
