@@ -174,7 +174,34 @@ def main():
         dsr = np.stack([j.det_seqs_sr for j in jobs])
         ga = t("extract_ms", lambda: extract_verb_groups_arrays(cv, dv, dsr))
         t("ssp_ms", lambda: np.asarray(pipe._ssp_gen(
-            jnp.asarray(ga.verbs[:, None]), jnp.asarray(ga.det_sr))[0]))
+            ga.verbs[:, None], ga.det_sr)[0]))
+
+        # rebuild phase-C inputs exactly as plan_rank_batch does, to time
+        # the sinkhorn device call / P_soft readback / Hungarian separately
+        n = pipe.sinkhorn_len
+        plen, pair_off = ga.pair_len, ga.pair_off
+        multi = np.nonzero(plen > 1)[0]
+        sink_slices = {}
+        if multi.size:
+            m = np.where(plen > 1, np.minimum(plen, n), plen)[multi]
+            owner = ga.owners[ga.pair_group[multi]].astype(np.int32)
+            within = np.arange(n)[None, :]
+            valid = within < m[:, None]
+            lo = pair_off[:-1][multi][:, None]
+            hi = pair_off[1:][multi][:, None]
+            locs_pad = np.where(
+                valid, ga.slot_flat[np.minimum(lo + within, hi - 1)], 0
+            ).astype(np.int32)
+            P_dev = t("sinkhorn_ms", lambda: jax.block_until_ready(
+                pipe._sinkhorn_gather(*sink_feats, jnp.asarray(owner),
+                                      jnp.asarray(locs_pad),
+                                      jnp.asarray(valid))))
+            P_soft = t("psoft_readback_ms", lambda: np.asarray(P_dev))
+            from vsrcic_tpu.ops.assignment import hungarian_assign
+            t("hungarian_ms", lambda: hungarian_assign(
+                np.transpose(P_soft, (0, 2, 1))))
+            sl["n_pairs"] = int(multi.size)
+
         t("full_rank_ms", lambda: pipe.plan_rank_batch(
             jobs, sink_feats=sink_feats))
         rank_idx, rank_valid, _ = pipe.plan_rank_batch(

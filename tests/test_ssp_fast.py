@@ -72,3 +72,27 @@ def test_fast_generate_trained_params_spread():
         # params are perturbed 0.3-sigma (large activations), so score
         # reassociation noise is amplified; tokens above are still exact
         np.testing.assert_allclose(np.asarray(lf), np.asarray(lq), atol=1e-3)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_truncated_scan_matches_full(fast):
+    """n_steps >= the batch's max slot count is output-identical to the
+    full-length constrained scan (steps past slot exhaustion write the init
+    values) — the equivalence EvalPipeline._ssp_gen's bucketing rests on."""
+    cfg = SSPConfig()
+    params = init_ssp_params(jax.random.PRNGKey(1), cfg)
+    gen = ssp_generate_fast if fast else ssp_generate
+    rng = np.random.RandomState(23)
+    b = 8
+    det_sr = rng.randint(1, 26, (b, cfg.max_len)).astype(np.int32)
+    det_sr[:, 4:] = 0             # max 4 slots per row
+    det_sr[0, :] = 0
+    det_sr[3, 2:] = 0
+    verb = rng.randint(1, 2662, (b, 1))
+    pf, lf = gen(params, cfg, jnp.asarray(verb), jnp.asarray(det_sr),
+                 mode="not-normal")
+    for n_steps in (4, 6):
+        pt, lt = gen(params, cfg, jnp.asarray(verb), jnp.asarray(det_sr),
+                     mode="not-normal", n_steps=n_steps)
+        np.testing.assert_array_equal(np.asarray(pf), np.asarray(pt))
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lt), atol=1e-5)

@@ -150,16 +150,29 @@ def ssp_forward_loss(params, cfg: SSPConfig, verb, det_sr, gt_sr, rng=None,
     return loss
 
 
-def _generate_loop(cfg: SSPConfig, det_sr, mode, logp_step, extra0):
+def _generate_loop(cfg: SSPConfig, det_sr, mode, logp_step, extra0,
+                   n_steps=None):
     """Shared greedy selection loop for ssp_generate / ssp_generate_fast.
 
     logp_step(extra, x_buf, t) -> (logp (B, 26), extra'): next-token
     log-probs at buffer position t. `extra` threads implementation state
     (e.g. K/V caches) through the scan.
+
+    n_steps (static, constrained mode only): truncate the scan to this many
+    steps. Each constrained step emits exactly one not-yet-used input slot,
+    so once every row's slot multiset is exhausted the remaining steps are
+    inert — they write it=0 / lps=0.0, the buffers' init values (the same
+    equivalence that justified rejecting the early-exit while_loop, see the
+    comment below). Passing n_steps >= max-slots-in-batch is therefore
+    output-IDENTICAL to the full t_max scan while skipping the dead steps'
+    decoder compute (pinned in tests/test_ssp_fast.py).
     """
     b, l = det_sr.shape
     t_max = cfg.max_len
     constrained = mode != "normal"
+    if n_steps is None or not constrained:
+        n_steps = t_max
+    n_steps = min(int(n_steps), t_max)
 
     if constrained:
         # NB: fixed-length scan, deliberately. An all-rows-exhausted
@@ -191,7 +204,7 @@ def _generate_loop(cfg: SSPConfig, det_sr, mode, logp_step, extra0):
                  jnp.zeros((b, t_max), jnp.int32), jnp.zeros((b, t_max)),
                  extra0)
         (x_buf, remain, pred, lps, _), _ = jax.lax.scan(
-            body, carry, jnp.arange(t_max))
+            body, carry, jnp.arange(n_steps))
         return pred, lps
 
     def body(carry, t):
@@ -217,13 +230,14 @@ def _generate_loop(cfg: SSPConfig, det_sr, mode, logp_step, extra0):
     return pred, lps
 
 
-def ssp_generate(params, cfg: SSPConfig, verb, det_sr, mode="normal"
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def ssp_generate(params, cfg: SSPConfig, verb, det_sr, mode="normal",
+                 n_steps=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Autoregressive role-order generation (ref sort_model.py:105-183).
 
     mode='normal': unconstrained greedy with the reference's finished logic.
     Anything else (the eval scripts pass 'not-normal'): constrained — each
     step's argmax is restricted to the multiset of input SRs not yet emitted.
+    n_steps: static scan truncation, see _generate_loop (constrained only).
 
     Returns (pred (B, max_len) int32, logprobs (B, max_len) float32).
     """
@@ -236,11 +250,11 @@ def ssp_generate(params, cfg: SSPConfig, verb, det_sr, mode="normal"
                            jax.lax.dynamic_index_in_dim(states, t, 1, keepdims=False))
         return jax.nn.log_softmax(logits, axis=-1), extra            # (B, 26)
 
-    return _generate_loop(cfg, det_sr, mode, logp_step, None)
+    return _generate_loop(cfg, det_sr, mode, logp_step, None, n_steps=n_steps)
 
 
-def ssp_generate_fast(params, cfg: SSPConfig, verb, det_sr, mode="normal"
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def ssp_generate_fast(params, cfg: SSPConfig, verb, det_sr, mode="normal",
+                      n_steps=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Incremental (KV-cached) ssp_generate — same outputs, ~T× less decoder
     compute per step.
 
@@ -279,16 +293,33 @@ def ssp_generate_fast(params, cfg: SSPConfig, verb, det_sr, mode="normal"
     layers = [params["decoder"]["encoder_layers"][str(i)]
               for i in range(cfg.decoder_layers)]
 
-    # one full pass over the all-zeros buffer: degenerate-query outputs
-    zero_states = ssp_decode(params, cfg, jnp.zeros((b, s), jnp.int32), prior)
+    # one SINGLE-POSITION pass over an all-zeros buffer: the degenerate-query
+    # outputs. With every key masked, attention is uniform over identical
+    # per-position states and the decoder embedding has no positional term,
+    # so all S positions of a full zeros pass are equal — computing one
+    # position is exact (pinned vs ssp_generate in tests/test_ssp_fast.py)
+    # and drops an 11-position decoder pass to 1.
+    zero_states = ssp_decode(params, cfg, jnp.zeros((b, 1), jnp.int32), prior)
     zero_logp = jax.nn.log_softmax(
-        nn.linear(params["expander_nn"], zero_states), axis=-1)   # (B, S, 26)
+        nn.linear(params["expander_nn"], zero_states), axis=-1)   # (B, 1, 26)
 
     # cross-attention K/V once per layer (the reference layer runs cross
     # attention with the SELF-attention projections, sort_modules.py:87)
     cross_kv = tuple((nn.linear(lp["attention"]["linear_K"], prior),
                       nn.linear(lp["attention"]["linear_V"], prior))
                      for lp in layers)
+
+    # fused per-layer QKV projection: one (H, 3H) matmul per step instead of
+    # three (H, H) — same values (concat of the three affine maps), fewer
+    # tiny kernels inside the scan body
+    qkv_fused = tuple(
+        (jnp.concatenate([lp["attention"]["linear_Q"]["weight"],
+                          lp["attention"]["linear_K"]["weight"],
+                          lp["attention"]["linear_V"]["weight"]], 0),
+         jnp.concatenate([lp["attention"]["linear_Q"]["bias"],
+                          lp["attention"]["linear_K"]["bias"],
+                          lp["attention"]["linear_V"]["bias"]], 0))
+        for lp in layers)
 
     def heads(x):
         return x.reshape(b, -1, n_heads, hd).transpose(0, 2, 1, 3)
@@ -312,16 +343,20 @@ def ssp_generate_fast(params, cfg: SSPConfig, verb, det_sr, mode="normal"
         # exactly the reference's causal+pad key mask for query position t
         key_mask = (x_buf != 0)[:, None, None, :]                  # (B,1,1,S)
         new_caches = []
-        for lp, (ck, cv), (k_cache, v_cache) in zip(layers, cross_kv, caches):
+        for lp, (ck, cv), (qkv_w, qkv_b), (k_cache, v_cache) in zip(
+                layers, cross_kv, qkv_fused, caches):
             y1 = nn.layer_norm(lp["layer_norm1"], x)
-            q = heads(nn.linear(lp["attention"]["linear_Q"], y1))
+            q_, k_, v_ = jnp.split(y1 @ qkv_w.T + qkv_b, 3, axis=-1)
+            # caches live pre-headed as (B, nh, S, hd): the per-step update
+            # writes one (B, nh, 1, hd) slice and attend reads them directly
+            # (no full-cache head-split transpose every step)
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, nn.linear(lp["attention"]["linear_K"], y1), (0, t, 0))
+                k_cache, heads(k_), (0, 0, t, 0))
             v_cache = jax.lax.dynamic_update_slice(
-                v_cache, nn.linear(lp["attention"]["linear_V"], y1), (0, t, 0))
+                v_cache, heads(v_), (0, 0, t, 0))
             new_caches.append((k_cache, v_cache))
             h1 = nn.linear(lp["attention"]["linear_O"],
-                           attend(q, heads(k_cache), heads(v_cache),
+                           attend(heads(q_), k_cache, v_cache,
                                   key_mask)) + x
             y2 = nn.layer_norm(lp["layer_norm2"], h1)
             q2 = heads(nn.linear(lp["attention"]["linear_Q"], y2))
@@ -335,13 +370,14 @@ def ssp_generate_fast(params, cfg: SSPConfig, verb, det_sr, mode="normal"
         # degenerate rows (no live keys: nothing emitted yet, which includes
         # every row at t=0) read the all-zeros-buffer pass instead
         deg = jax.lax.dynamic_index_in_dim(x_buf, 1, 1, keepdims=False) == 0
-        zl = jax.lax.dynamic_index_in_dim(zero_logp, t, 1, keepdims=False)
-        return jnp.where(deg[:, None], zl, logp), tuple(new_caches)
+        return jnp.where(deg[:, None], zero_logp[:, 0], logp), \
+            tuple(new_caches)
 
     caches0 = tuple(
-        (jnp.zeros((b, s, cfg.hidden_size)), jnp.zeros((b, s, cfg.hidden_size)))
+        (jnp.zeros((b, n_heads, s, hd)), jnp.zeros((b, n_heads, s, hd)))
         for _ in layers)
-    return _generate_loop(cfg, det_sr, mode, logp_step, caches0)
+    return _generate_loop(cfg, det_sr, mode, logp_step, caches0,
+                          n_steps=n_steps)
 
 
 def ssp_beam_search(params, cfg: SSPConfig, verb, det_sr, beam_size: int = 3

@@ -81,10 +81,11 @@ class EvalPipeline:
         # the full-buffer path (tests/test_ssp_fast.py; only tokens are
         # consumed here), ~max_len× less decoder compute per step
         gen = ssp_generate_fast if fast_ssp else ssp_generate
+        self._ssp_progs = {}
         if mesh is None:
-            self._ssp_gen = jax.jit(
+            self._ssp_make = lambda n_steps: jax.jit(
                 lambda v, d: gen(ssp_params, ssp_cfg, v, d,
-                                 mode="not-normal"))
+                                 mode="not-normal", n_steps=n_steps))
         else:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as _P
@@ -93,12 +94,16 @@ class EvalPipeline:
             self._mesh_n = mesh.shape["data"]
             ssp_params_r = jax.device_put(ssp_params, rep)
             sink_params_r = jax.device_put(sinkhorn_params, rep)
-            jgen = jax.jit(
-                lambda p, v, d: gen(p, ssp_cfg, v, d, mode="not-normal"),
-                in_shardings=(rep, data, data),
-                out_shardings=data)
-            self._ssp_gen = self._pad_sharded(
-                lambda v, d: jgen(ssp_params_r, v, d))
+
+            def _make(n_steps):
+                jgen = jax.jit(
+                    lambda p, v, d: gen(p, ssp_cfg, v, d, mode="not-normal",
+                                        n_steps=n_steps),
+                    in_shardings=(rep, data, data),
+                    out_shardings=data)
+                return self._pad_sharded(
+                    lambda v, d: jgen(ssp_params_r, v, d))
+            self._ssp_make = _make
 
         # emit recons directly in the beam's statics-table layout (bf16
         # cast + M padded to the fused kernel's 8-row tiling) so the beam
@@ -158,6 +163,26 @@ class EvalPipeline:
                 static_args=3)
 
     # ------------------------------------------------------------------
+    def _ssp_gen(self, verbs, det_sr):
+        """Constrained planner generate with the scan truncated to the
+        batch's max slot count (bucketed to even lengths so at most
+        max_len/2 programs ever compile). Each constrained step emits one
+        unused input slot, so steps past the max slot count write the init
+        values — truncation is output-IDENTICAL (s_ssp._generate_loop
+        docstring; pinned in tests/test_ssp_fast.py). The slot count is
+        read on host when det_sr is a numpy array (always, from
+        plan_rank_batch — ga.det_sr is host metadata); a device array
+        falls back to the full-length program rather than forcing a sync.
+        """
+        n_steps = self.ssp_cfg.max_len
+        if isinstance(det_sr, np.ndarray) and det_sr.size:
+            m = int((det_sr != 0).sum(axis=1).max())
+            n_steps = min(n_steps, max(2, m + (m % 2)))
+        prog = self._ssp_progs.get(n_steps)
+        if prog is None:
+            prog = self._ssp_progs[n_steps] = self._ssp_make(n_steps)
+        return prog(jnp.asarray(verbs), jnp.asarray(det_sr))
+
     def _pad_sharded(self, fn, static_args: int = 0):
         """Wrap a sharded-jit fn: pad the batched args' leading axis up to a
         data-axis multiple (zero rows are inert in every wrapped fn) and
@@ -260,8 +285,7 @@ class EvalPipeline:
                 *sink_feats, jnp.asarray(owner), jnp.asarray(locs_pad),
                 jnp.asarray(valid))
 
-        preds_dev, _ = self._ssp_gen(jnp.asarray(ga.verbs[:, None]),
-                                     jnp.asarray(ga.det_sr))
+        preds_dev, _ = self._ssp_gen(ga.verbs[:, None], ga.det_sr)
 
         if P_soft_dev is not None:
             P_soft = np.asarray(P_soft_dev)
@@ -352,7 +376,7 @@ class EvalPipeline:
         if all_groups:
             verbs = np.asarray([[g.verb] for g in all_groups])
             det_sr = np.stack([g.det_sr_seq for g in all_groups])
-            preds, _ = self._ssp_gen(jnp.asarray(verbs), jnp.asarray(det_sr))
+            preds, _ = self._ssp_gen(verbs, det_sr)
             preds = np.asarray(preds)
         else:
             preds = np.zeros((0, self.ssp_cfg.max_len), np.int32)
