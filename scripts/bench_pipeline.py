@@ -219,30 +219,28 @@ def main():
     t_plan /= iters
     t_total /= iters
 
-    # software-pipelined steady state (eval CLI mode): beam(k) computes on
-    # device while plan(k+1) runs; only materialize the previous result
-    pending = None
+    # software-pipelined steady state (eval CLI mode): run_stream enqueues
+    # batch k+1's plan BEFORE batch k's beam, so the plan readback (a full
+    # tunnel RTT) rides under the in-flight beam; warm one stream first,
+    # then time a longer one
+    stream = [(dets_dev, jobs, seqs_all_dev, sink_feats)] * 2
+    for _ in pipe.run_stream(stream):
+        pass
+    n_stream = max(iters, 4)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        words = pipe.submit_batch(dets_dev, jobs, seqs_all=seqs_all_dev,
-                                  sink_feats=sink_feats)
-        if pending is not None:
-            np.asarray(pending)
-        pending = words
-    np.asarray(pending)
-    t_piped = (time.perf_counter() - t0) / iters
+    for _ in pipe.run_stream([(dets_dev, jobs, seqs_all_dev,
+                               sink_feats)] * n_stream):
+        pass
+    t_piped = (time.perf_counter() - t0) / n_stream
 
-    # single-chip finding: interleaved submission is SLOWER than sequential
-    # (plan's device calls queue behind the in-flight beam; only plan's
-    # ~15 ms host slice can overlap) — report sequential as primary
     print(json.dumps({
         "metric": "pipeline_captions_per_sec_per_chip",
-        "value": round(n_jobs / t_total, 2),
+        "value": round(n_jobs / t_piped, 2),
         "unit": "captions/s/chip",
         "jobs_per_batch": n_jobs,
         "plan_ms": round(t_plan * 1e3, 2),
         "beam_ms": round((t_total - t_plan) * 1e3, 2),
-        "pipelined_caps_per_s": round(n_jobs / t_piped, 2),
+        "sequential_caps_per_s": round(n_jobs / t_total, 2),
         "beam_size": args.beam,
     }))
 

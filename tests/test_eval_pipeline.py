@@ -205,6 +205,51 @@ def test_pipeline_recons_layout_emission(world):
     np.testing.assert_array_equal(words_a, words_b)
 
 
+def test_run_stream_matches_run_batch(world):
+    """The 1-ahead software-pipelined stream must produce byte-identical
+    tokens to sequential run_batch on every batch, including a batch with
+    no verb groups (plan_dispatch's ga=None early-out) and the final
+    drain."""
+    syn, tf, captioner, ssp_cfg, ssp_params, kcfg, kparams = world
+    rng = np.random.RandomState(5)
+    L, M = 10, 5
+
+    def mk_job(with_groups, seed_v):
+        job = CaptionJob(
+            seqs_vis=rng.rand(L, FEAT).astype(np.float32),
+            seqs_txt=rng.rand(L, 300).astype(np.float32),
+            seqs_pos=rng.rand(L, 4).astype(np.float32),
+            seqs_all=rng.rand(L, M, FEAT).astype(np.float32),
+            control_verb=np.zeros(8),
+            det_seqs_v=np.zeros((L, 8)),
+            det_seqs_sr=np.zeros((L, 8)),
+            verb_list=np.full((L, 1), -1.0))
+        if with_groups:
+            job.control_verb[0] = seed_v
+            job.det_seqs_v[0:3, 0] = seed_v
+            job.det_seqs_sr[0, 0] = 2.0   # shared SR pair -> Sinkhorn
+            job.det_seqs_sr[1, 0] = 2.0
+            job.det_seqs_sr[2, 0] = 7.0
+        return job
+
+    batches = []
+    for b, grouped in enumerate([True, False, True]):
+        jobs = [mk_job(grouped, 3.0 + b) for _ in range(2)]
+        dets = rng.rand(len(jobs), 6, FEAT).astype(np.float32)
+        batches.append((dets, jobs))
+
+    pipe = EvalPipeline(captioner, ssp_params, ssp_cfg, kparams, kcfg,
+                        eos_word=tf.eos_idx, beam_size=2)
+    seq_words = [pipe.run_batch(d, j) for d, j in batches]
+    stream_words = list(pipe.run_stream(iter(batches)))
+    assert len(stream_words) == len(seq_words)
+    for a, b in zip(stream_words, seq_words):
+        np.testing.assert_array_equal(a, b)
+
+    # empty stream: yields nothing
+    assert list(pipe.run_stream([])) == []
+
+
 def test_field_built_multi_verb_job_takes_merge_branch(world):
     """A two-verb synthetic caption, processed by the REAL eval field, must
     extract as TWO verb groups for one job — the plan assembly's multi-verb

@@ -190,27 +190,30 @@ def main(argv=None):
                         fast_ssp=bool(opt.fast_ssp), mesh=mesh)
 
     predictions, gt_captions = [], []
-    pending = None  # beam(k) computes while plan(k+1) runs on host
     t0 = time.time()
-    for keys, values in loader:
-        detections, img_ids = keys
-        det_per_job, jobs = [], []
-        for i in range(detections.shape[0]):
-            for out, cap in zip(values["detection"][i], values["text"][i]):
-                (word, vis, pos, vis_all, seq_v, seq_sr, cv,
-                 vl) = unpack_eval_output(out, opt.dataset, opt.det)
-                jobs.append(CaptionJob(
-                    seqs_vis=vis, seqs_txt=word, seqs_pos=pos,
-                    seqs_all=vis_all, control_verb=cv, det_seqs_v=seq_v,
-                    det_seqs_sr=seq_sr, verb_list=vl))
-                det_per_job.append(detections[i])
-                gt_captions.append(cap)
-        words = pipe.submit_batch(np.stack(det_per_job), jobs)
-        if pending is not None:
-            predictions.extend(list(np.asarray(pending)))
-        pending = words
-    if pending is not None:
-        predictions.extend(list(np.asarray(pending)))
+
+    def batch_stream():
+        # job unpacking (host) interleaves with the in-flight device work;
+        # run_stream enqueues batch k+1's plan before batch k's beam so
+        # every plan readback rides under a running beam
+        for keys, values in loader:
+            detections, img_ids = keys
+            det_per_job, jobs = [], []
+            for i in range(detections.shape[0]):
+                for out, cap in zip(values["detection"][i],
+                                    values["text"][i]):
+                    (word, vis, pos, vis_all, seq_v, seq_sr, cv,
+                     vl) = unpack_eval_output(out, opt.dataset, opt.det)
+                    jobs.append(CaptionJob(
+                        seqs_vis=vis, seqs_txt=word, seqs_pos=pos,
+                        seqs_all=vis_all, control_verb=cv, det_seqs_v=seq_v,
+                        det_seqs_sr=seq_sr, verb_list=vl))
+                    det_per_job.append(detections[i])
+                    gt_captions.append(cap)
+            yield np.stack(det_per_job), jobs
+
+    for words in pipe.run_stream(batch_stream()):
+        predictions.extend(list(words))
     dt = time.time() - t0
     print("decoded %d captions in %.2fs (%.1f captions/s)"
           % (len(predictions), dt, len(predictions) / max(dt, 1e-9)))

@@ -47,6 +47,26 @@ class CaptionJob:
     verb_list: np.ndarray      # (L, 1)
 
 
+@dataclass
+class _PlanPending:
+    """In-flight plan phase: device handles (planner preds + Sinkhorn
+    soft-perms, both enqueued, NOT read back) plus the host-side CSR
+    bookkeeping plan_finish needs to assemble ranks."""
+    n_jobs: int
+    L: int
+    jobs: Sequence["CaptionJob"]
+    ga: object                       # verb-group arrays (None: no groups)
+    preds_dev: object = None
+    P_soft_dev: object = None        # None when no ambiguous pairs
+    multi: np.ndarray = None
+    rank_len: np.ndarray = None
+    rank_off: np.ndarray = None
+    rank_flat: np.ndarray = None
+    locs_pad: np.ndarray = None
+    valid: np.ndarray = None
+    within: np.ndarray = None
+
+
 class EvalPipeline:
     def __init__(self, captioner: ControllableCaptioner, ssp_params,
                  ssp_cfg: SSPConfig, sinkhorn_params,
@@ -221,33 +241,24 @@ class EvalPipeline:
                 feats, NamedSharding(self.mesh, _P()))
         return feats
 
-    def plan_rank_batch(self, jobs: Sequence[CaptionJob], sink_feats=None
-                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """All jobs -> (rank_idx (P, L) int32, rank_valid (P, L) bool,
-        verb_lists (P, L)) — the metadata-sized plan; features are permuted
-        on device from these indices (see plan_batch/_build_recons_impl).
-
-        Composition per job mirrors eval_coco.py:127-219 with the planner
-        and Sinkhorn batched across jobs and every host phase numpy-
-        vectorized (CSR over groups/pairs/slots); the only remaining Python
-        loop is `verb_rank_merge` over multi-verb jobs (inherently
-        sequential, <=8 tiny lists each). Oracle-equivalent to
-        `plan_rank_batch_loop` (tests/test_plan_vectorized.py).
-        """
+    def plan_dispatch(self, jobs: Sequence[CaptionJob], sink_feats=None):
+        """Enqueue the plan phase's device programs (batched Sinkhorn +
+        constrained planner) WITHOUT any host sync, returning a pending
+        handle for plan_finish. Splitting dispatch from finish lets a
+        batch runner enqueue batch k+1's plan BEFORE batch k's beam, so
+        the plan readback rides under the in-flight beam instead of
+        queueing behind it (see run_stream)."""
         from vsrcic_tpu.pipelines.sr_groups import extract_verb_groups_arrays
 
         L = self.fixed_len
         n_jobs = len(jobs)
-        rank_idx = np.zeros((n_jobs, L), np.int32)
-        rank_valid = np.zeros((n_jobs, L), bool)
 
         ga = extract_verb_groups_arrays(
             np.stack([j.control_verb for j in jobs]),
             np.stack([j.det_seqs_v for j in jobs]),
             np.stack([j.det_seqs_sr for j in jobs]))
         if ga is None:
-            return rank_idx, rank_valid, np.full((n_jobs, L), -1.0)
-        G = len(ga.owners)
+            return _PlanPending(n_jobs=n_jobs, L=L, jobs=jobs, ga=None)
 
         # -- phases B+C dispatched together, Sinkhorn FIRST ---------------
         # the two device calls are independent (the planner orders roles,
@@ -268,7 +279,7 @@ class EvalPipeline:
         within_r = np.arange(rank_off[-1]) - np.repeat(rank_off[:-1], rank_len)
         rank_flat = ga.slot_flat[pair_off[:-1][q_rep] + within_r]
 
-        P_soft_dev = None
+        P_soft_dev = locs_pad = valid = within = None
         if multi.size:
             m = rank_len[multi]                                    # (S,)
             owner = ga.owners[ga.pair_group[multi]].astype(np.int32)
@@ -286,9 +297,30 @@ class EvalPipeline:
                 jnp.asarray(valid))
 
         preds_dev, _ = self._ssp_gen(ga.verbs[:, None], ga.det_sr)
+        return _PlanPending(
+            n_jobs=n_jobs, L=L, jobs=jobs, ga=ga, preds_dev=preds_dev,
+            P_soft_dev=P_soft_dev, multi=multi, rank_len=rank_len,
+            rank_off=rank_off, rank_flat=rank_flat, locs_pad=locs_pad,
+            valid=valid, within=within)
 
-        if P_soft_dev is not None:
-            P_soft = np.asarray(P_soft_dev)
+    def plan_finish(self, pend: "_PlanPending"
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Read back a plan_dispatch handle (ONE combined device_get — on a
+        tunneled device every extra sync is a full RTT) and run the host
+        phases: Hungarian rounding + vectorized rank assembly + merge."""
+        L, n_jobs, ga = pend.L, pend.n_jobs, pend.ga
+        rank_idx = np.zeros((n_jobs, L), np.int32)
+        rank_valid = np.zeros((n_jobs, L), bool)
+        if ga is None:
+            return rank_idx, rank_valid, np.full((n_jobs, L), -1.0)
+        G = len(ga.owners)
+        n = self.sinkhorn_len
+        multi, rank_len, rank_off, rank_flat = (
+            pend.multi, pend.rank_len, pend.rank_off, pend.rank_flat)
+        locs_pad, valid, within = pend.locs_pad, pend.valid, pend.within
+
+        P_soft, preds = jax.device_get((pend.P_soft_dev, pend.preds_dev))
+        if P_soft is not None:
             # profit = P^T as in the reference (eval_coco.py:185); row
             # assignments are a permutation so the valid entries are
             # distinct, and invalid slots are pushed past them with n+col
@@ -297,7 +329,7 @@ class EvalPipeline:
             new_locs = np.take_along_axis(locs_pad, ordv, 1)       # (S, n)
             flat_idx = (rank_off[:-1][multi][:, None] + within)[valid]
             rank_flat[flat_idx] = new_locs[valid]
-        preds = np.asarray(preds_dev)
+        jobs = pend.jobs
 
         # -- phase D: vectorized rank assembly + per-job merge -------------
         # per (group, pred position): which pair it selects (row-major order
@@ -358,6 +390,21 @@ class EvalPipeline:
         verb_lists = np.where(
             rank_valid, np.take_along_axis(job_vl, rank_idx, 1), -1.0)
         return rank_idx, rank_valid, verb_lists
+
+    def plan_rank_batch(self, jobs: Sequence[CaptionJob], sink_feats=None
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All jobs -> (rank_idx (P, L) int32, rank_valid (P, L) bool,
+        verb_lists (P, L)) — the metadata-sized plan; features are permuted
+        on device from these indices (see plan_batch/_build_recons_impl).
+
+        Composition per job mirrors eval_coco.py:127-219 with the planner
+        and Sinkhorn batched across jobs and every host phase numpy-
+        vectorized (CSR over groups/pairs/slots); the only remaining Python
+        loop is `verb_rank_merge` over multi-verb jobs (inherently
+        sequential, <=8 tiny lists each). Oracle-equivalent to
+        `plan_rank_batch_loop` (tests/test_plan_vectorized.py).
+        Implemented as plan_dispatch + plan_finish (one host sync)."""
+        return self.plan_finish(self.plan_dispatch(jobs, sink_feats))
 
     def plan_rank_batch_loop(self, jobs: Sequence[CaptionJob], sink_feats=None
                              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -536,21 +583,14 @@ class EvalPipeline:
         return jnp.where(valid_c[:, :, None, None], out, 0.0)
 
     # ------------------------------------------------------------------
-    def submit_batch(self, detections_per_job: np.ndarray,
-                     jobs: Sequence[CaptionJob], seqs_all=None,
-                     sink_feats=None):
-        """Plan + dispatch the beam WITHOUT materializing the result: the
-        returned (P, T) device array is still computing, so the caller can
-        overlap the next batch's plan phase (host loops + planner/Sinkhorn
-        round trips) with this batch's beam — a software pipeline the
-        reference's strictly sequential per-caption loop cannot express."""
-        recons, verb_lists = self.plan_batch_device(
-            jobs, seqs_all=seqs_all, sink_feats=sink_feats)
+    def _dispatch_beam(self, detections_per_job, recons, verb_lists,
+                       n_jobs: int):
+        """Enqueue the joint beam search (single-chip or shard_map-sharded);
+        returns the still-computing (P, T) best-beam device array."""
         if self.mesh is not None:
             from vsrcic_tpu.parallel.sharded import sharded_beam_search_v
             n = self.mesh.shape["data"]
-            p = len(jobs)
-            pad = (-p) % n
+            pad = (-n_jobs) % n
             if pad:
                 def z(a, fill=0):
                     a = jnp.asarray(a)
@@ -563,11 +603,83 @@ class EvalPipeline:
                 self.captioner, self.mesh, detections_per_job, recons,
                 verb_lists, eos_word=self.eos_word,
                 beam_size=self.beam_size, gt=self.gt)
-            return res.words[:p, 0]
+            return res.words[:n_jobs, 0]
         res = self.captioner.beam_search_v(
             detections_per_job, recons, verb_lists, eos_word=self.eos_word,
             beam_size=self.beam_size, gt=self.gt)
         return res.words[:, 0]
+
+    def submit_batch(self, detections_per_job: np.ndarray,
+                     jobs: Sequence[CaptionJob], seqs_all=None,
+                     sink_feats=None):
+        """Plan + dispatch the beam WITHOUT materializing the result: the
+        returned (P, T) device array is still computing, so the caller can
+        overlap the next batch's plan phase (host loops + planner/Sinkhorn
+        round trips) with this batch's beam — a software pipeline the
+        reference's strictly sequential per-caption loop cannot express.
+
+        NOTE: for multi-batch streams prefer run_stream — submit_batch
+        enqueues batch k+1's plan AFTER batch k's beam, so the plan
+        readback waits out the whole beam on the device queue."""
+        recons, verb_lists = self.plan_batch_device(
+            jobs, seqs_all=seqs_all, sink_feats=sink_feats)
+        return self._dispatch_beam(detections_per_job, recons, verb_lists,
+                                   len(jobs))
+
+    def run_stream(self, batches):
+        """Software-pipelined eval over a stream of batches; yields the
+        best-beam words (P, T) numpy array per batch, in order.
+
+        `batches` is an iterable of (detections_per_job, jobs) or
+        (detections_per_job, jobs, staged_seqs_all, staged_sink_feats)
+        tuples (staged entries may be None; they are staged here).
+
+        Schedule (1 batch ahead): batch k+1's planner/Sinkhorn programs
+        are enqueued BEFORE batch k's beam, so on the serialized device
+        queue they run first and their (single) readback completes while
+        the beam is still in flight; the Hungarian rounding + rank
+        assembly for k+1 then overlap the rest of beam k. On a tunneled
+        device every host sync is a full RTT (~26-43 ms measured), so the
+        steady state costs exactly 2 RTTs/batch (plan readback + words
+        readback) instead of the reference loop's per-caption round trips
+        (ref eval_coco.py:116-255).
+        """
+        it = iter(batches)
+
+        def norm(b):
+            dets, jobs = b[0], b[1]
+            seqs_all = b[2] if len(b) > 2 else None
+            sink_feats = b[3] if len(b) > 3 else None
+            if sink_feats is None:
+                sink_feats = self.stage_job_feats(jobs)
+            if seqs_all is None:
+                seqs_all = self.stage_seqs_all(jobs)
+            return dets, jobs, self._as_staged(seqs_all), sink_feats
+
+        try:
+            cur = norm(next(it))
+        except StopIteration:
+            return
+        pend_plan = self.plan_dispatch(cur[1], sink_feats=cur[3])
+        pend_words = None
+        while cur is not None:
+            dets, jobs, (arr, row_sums), _ = cur
+            rank_idx, rank_valid, verb_lists = self.plan_finish(pend_plan)
+            recons = self._build_recons(arr, jnp.asarray(rank_idx),
+                                        jnp.asarray(rank_valid), row_sums)
+            # stage + dispatch NEXT batch's plan before this batch's beam
+            try:
+                nxt = norm(next(it))
+            except StopIteration:
+                nxt = None
+            if nxt is not None:
+                pend_plan = self.plan_dispatch(nxt[1], sink_feats=nxt[3])
+            words = self._dispatch_beam(dets, recons, verb_lists, len(jobs))
+            if pend_words is not None:
+                yield np.asarray(pend_words)
+            pend_words = words
+            cur = nxt
+        yield np.asarray(pend_words)
 
     def run_batch(self, detections_per_job: np.ndarray,
                   jobs: Sequence[CaptionJob], seqs_all=None,
