@@ -19,27 +19,29 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def build_store(root, n_images, dets=100, dim=2048):
+def build_store(root, n_images, dets=100, dim=2048, dtype="float32"):
     """Write a packed store directly (features.bin memmap + index)."""
+    from vsrcic_tpu.data.store import packed_dtype
+    np_dtype = packed_dtype(dtype)
     rows = n_images * dets
-    feat = np.memmap(os.path.join(root, "features.bin"), np.float32, "w+",
+    feat = np.memmap(os.path.join(root, "features.bin"), np_dtype, "w+",
                      shape=(rows, dim))
-    prob = np.memmap(os.path.join(root, "cls_probs.bin"), np.float32, "w+",
+    prob = np.memmap(os.path.join(root, "cls_probs.bin"), np_dtype, "w+",
                      shape=(rows, 4))
     box = np.memmap(os.path.join(root, "boxes.bin"), np.float32, "w+",
                     shape=(rows, 4))
     rng = np.random.RandomState(0)
-    chunk = rng.rand(dets, dim).astype(np.float32)
+    chunk = rng.rand(dets, dim).astype(np_dtype)
     index = {}
     for i in range(n_images):
         feat[i * dets:(i + 1) * dets] = chunk
         index[str(i + 1)] = [i * dets, dets]
-    prob[:] = 0.5
+    prob[:] = np_dtype.type(0.5)
     box[:] = 0.5
     feat.flush(); prob.flush(); box.flush()
     with open(os.path.join(root, "index.json"), "w") as f:
         json.dump({"index": index, "feat_dim": dim, "n_classes": 4,
-                   "n_total_rows": rows, "dtype": "float32"}, f)
+                   "n_total_rows": rows, "dtype": dtype}, f)
 
 
 def main():
@@ -47,6 +49,9 @@ def main():
     ap.add_argument("--images", type=int, default=2048)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--dets", type=int, default=100)
+    ap.add_argument("--dtype", default="float32",
+                    help="at-rest feature dtype (bfloat16 halves the "
+                    "gather's memcpy bytes; features feed the TPU as bf16)")
     args = ap.parse_args()
 
     from vsrcic_tpu.data import (DataLoader, ImageDetectionsField,
@@ -55,7 +60,7 @@ def main():
     from vsrcic_tpu.data.native_reader import native_available
 
     tmp = tempfile.mkdtemp(prefix="ingest_bench_")
-    build_store(tmp, args.images, dets=args.dets)
+    build_store(tmp, args.images, dets=args.dets, dtype=args.dtype)
     store = PackedFeatureStore(tmp)
     field = ImageDetectionsField(store, max_detections=args.dets)
     examples = [Example.fromdict(
@@ -64,7 +69,7 @@ def main():
     ds = PairedDataset(examples, {"image": field, "text": RawField()})
 
     out = {"native_available": native_available(), "batch": args.batch,
-           "dets": args.dets}
+           "dets": args.dets, "dtype": args.dtype}
 
     def run(label):
         loader = DataLoader(ds, batch_size=args.batch)

@@ -147,3 +147,51 @@ def test_dictionary_dataset_batched_key_ingest(tmp_path):
     loader = DataLoader(ds, batch_size=3)
     batches = list(loader)
     assert sum(len(k[0]) for k, _ in batches) == len(ds)
+
+def test_bf16_at_rest_store_roundtrip(tmp_path):
+    """bf16-at-rest packed store: convert_hdf5 quantizes once; the batched
+    gather returns bf16 (half the memcpy bytes), the per-item path widens
+    to f32 EXACTLY (every bf16 value is f32-representable), and the
+    field's batch path emits one consistent dtype on both the native and
+    fallback routes."""
+    import h5py
+    import ml_dtypes
+    from vsrcic_tpu.data import ImageDetectionsField, PackedFeatureStore
+    from vsrcic_tpu.data.native_reader import batch_features
+
+    rng = np.random.RandomState(7)
+    h5 = tmp_path / "d.hdf5"
+    with h5py.File(h5, "w") as f:
+        for i, n in [(1, 5), (2, 8)]:
+            f["%d_cls_prob" % i] = rng.rand(n, 4).astype(np.float32)
+            f["%d_features" % i] = rng.rand(n, 16).astype(np.float32)
+            f["%d_boxes" % i] = rng.rand(n, 4).astype(np.float32)
+    store = PackedFeatureStore.convert_hdf5(
+        str(h5), str(tmp_path / "pb"), dtype="bfloat16")
+    assert store.dtype == np.dtype(ml_dtypes.bfloat16)
+
+    # per-item get: f32, exactly the widened quantized values
+    rec = store.get(1)
+    assert rec.features.dtype == np.float32
+    with h5py.File(h5, "r") as f:
+        want = f["1_features"][()].astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(rec.features,
+                                  want.astype(np.float32))
+
+    # batched gather: bf16 out, same values
+    batch = batch_features(store, [1, 2], max_rows=10)
+    assert batch.dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(batch[0, :5].astype(np.float32),
+                                  rec.features)
+    assert np.all(batch[0, 5:].astype(np.float32) == 0)
+
+    # field: native batch path and the per-item fallback (missing id in
+    # the batch) both emit bf16
+    field = ImageDetectionsField(store, max_detections=8)
+    paths = ["imgs/COCO_train2014_%012d.jpg" % i for i in (1, 2)]
+    out = field.preprocess_batch(paths)
+    assert all(f.dtype == np.dtype(ml_dtypes.bfloat16) for f, _ in out)
+    out_fb = field.preprocess_batch(
+        ["imgs/COCO_train2014_%012d.jpg" % i for i in (1, 999)])
+    assert out_fb[0][0].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(out_fb[0][0], out[0][0])

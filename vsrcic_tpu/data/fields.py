@@ -286,7 +286,15 @@ class ImageDetectionsField(RawField):
         if (self.sort_by_prob
                 or not isinstance(self.store, PackedFeatureStore)
                 or any(str(i) not in self.store.index for i in ids)):
-            return [self.preprocess(x) for x in xs]
+            out = [self.preprocess(x) for x in xs]
+            if (isinstance(self.store, PackedFeatureStore)
+                    and self.store.dtype.itemsize == 2):
+                # bf16-at-rest store: per-item preprocess widened to f32
+                # (store.get) — cast back (exact) so every batch this
+                # loader emits has ONE dtype and the jitted train step
+                # never re-specializes on a fallback batch
+                out = [(f.astype(self.store.dtype), i) for f, i in out]
+            return out
         feats = batch_features(self.store, ids, self.max_detections)
         return [(feats[j], ids[j]) for j in range(len(ids))]
 

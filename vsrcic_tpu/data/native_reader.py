@@ -52,17 +52,31 @@ def native_available() -> bool:
 def fill_padded_batch(src: np.ndarray, starts: Sequence[int],
                       counts: Sequence[int], max_rows: int,
                       nthreads: int = 4) -> np.ndarray:
-    """src: (total_rows, D) fp32 (memmap ok) -> (B, max_rows, D) fp32."""
+    """src: (total_rows, D) fp32 or bf16 (memmap ok) -> (B, max_rows, D)
+    in src's dtype.
+
+    bf16 rides the same C++ memcpy kernel via a byte-view: a (rows, D)
+    2-byte array IS a (rows, D/2) f32 array to memcpy, so bf16-at-rest
+    halves both the memmap read and the batch-buffer write bytes — the
+    whole cost on a memory-bound ingest host (scripts/bench_ingest.py
+    --dtype bfloat16)."""
     lib = _load_lib()
     n = len(starts)
     dim = src.shape[1]
     starts_a = np.ascontiguousarray(starts, np.int64)
     counts_a = np.ascontiguousarray(counts, np.int64)
-    out = np.empty((n, max_rows, dim), np.float32)
+    out = np.empty((n, max_rows, dim), src.dtype
+                   if src.dtype.itemsize in (2, 4) else np.float32)
     if lib is not None and src.dtype == np.float32:
         lib.fill_padded_batch_f32(
             src.ctypes.data if isinstance(src, np.ndarray) else src,
             dim, starts_a.ctypes.data, counts_a.ctypes.data,
+            n, max_rows, out.ctypes.data, nthreads)
+        return out
+    if lib is not None and src.dtype.itemsize == 2 and dim % 2 == 0:
+        lib.fill_padded_batch_f32(
+            src.ctypes.data if isinstance(src, np.ndarray) else src,
+            dim // 2, starts_a.ctypes.data, counts_a.ctypes.data,
             n, max_rows, out.ctypes.data, nthreads)
         return out
     # numpy fallback
