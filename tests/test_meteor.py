@@ -94,3 +94,76 @@ def test_compute_score_api_shapes():
     final, seg = m.compute_score(gts, res)
     assert isinstance(final, float) and seg.shape == (2,)
     assert 0.0 <= final <= 1.0
+
+
+def _oracle_align(hyp, ref):
+    """Brute-force the jar objective: max matches, min chunks, max weight,
+    min total |i-j| — over ALL one-to-one unigram assignments."""
+    from vsrcic_tpu.metrics.meteor import _unigram_candidates
+    cand = _unigram_candidates(hyp, ref)
+    best = [None]
+
+    def rec(i, mask, pairs):
+        if i == len(hyp):
+            chunks, prev = 0, None
+            for (pi, pj, _) in pairs:
+                if not (prev and pi - prev[0] == 1 and pj - prev[1] == 1):
+                    chunks += 1
+                prev = (pi, pj)
+            key = (len(pairs), -chunks, sum(p[2] for p in pairs),
+                   -sum(abs(pi - pj) for pi, pj, _ in pairs))
+            if best[0] is None or key > best[0]:
+                best[0] = key
+            return
+        rec(i + 1, mask, pairs)
+        for j, wt in cand[i]:
+            if not mask >> j & 1:
+                rec(i + 1, mask | 1 << j, pairs + [(i, j, wt)])
+
+    rec(0, 0, [])
+    return best[0]
+
+
+def _beam_key(hyp, ref):
+    from vsrcic_tpu.metrics.meteor import _search_unigram_alignment
+    pairs = sorted(_search_unigram_alignment(hyp, ref))
+    chunks, prev = 0, None
+    for (pi, pj, _) in pairs:
+        if not (prev and pi - prev[0] == 1 and pj - prev[1] == 1):
+            chunks += 1
+        prev = (pi, pj)
+    return (len(pairs), -chunks, sum(p[2] for p in pairs),
+            -sum(abs(pi - pj) for pi, pj, _ in pairs))
+
+
+def test_aligner_matches_bruteforce_oracle():
+    """Fuzz the beam aligner against exhaustive search on adversarial
+    word orders: tiny vocab forces duplicate keys, and mixed inflections
+    ('run'/'running'/'runs') force exact-vs-stem weight choices. The
+    round-4 left-to-right closest-occurrence aligner FAILS this on
+    crossing duplicates; the beam must realize the exact jar objective
+    (matches, chunks, weight, distance) on every draw."""
+    rng = np.random.RandomState(0)
+    vocab = ["dog", "dogs", "run", "running", "runs", "the", "cat", "a"]
+    for trial in range(300):
+        nh = rng.randint(1, 8)
+        nr = rng.randint(1, 8)
+        hyp = [vocab[k] for k in rng.randint(0, len(vocab), nh)]
+        ref = [vocab[k] for k in rng.randint(0, len(vocab), nr)]
+        # compare the SCORE-RELEVANT stats (matches, chunks, weight)
+        # exactly; the |i-j| distance tiebreak only disambiguates between
+        # score-identical alignments and the beam may pick a different
+        # (score-equal) one under pruning
+        assert _beam_key(hyp, ref)[:3] == _oracle_align(hyp, ref)[:3], \
+            (hyp, ref)
+
+
+def test_aligner_beats_greedy_on_crossing_duplicates():
+    """A concrete adversarial order where closest-occurrence matching
+    yields more chunks than optimal: the oracle (and beam) find the
+    2-chunk alignment."""
+    hyp = "the cat the dog".split()
+    ref = "the dog the cat".split()
+    key = _beam_key(hyp, ref)
+    assert key[0] == 4          # all words matched
+    assert -key[1] == 2         # two chunks ('the cat' / 'the dog')

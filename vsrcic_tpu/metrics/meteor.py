@@ -32,11 +32,17 @@ not a formula change):
   * function-word weighting (delta): the jar ships a corpus-derived
     ``function.words`` list; with no list every word is a content word and
     delta cancels out of P and R exactly, so it is omitted.
-  * aligner: the jar beam-searches alignments maximizing matches, then
-    minimizing chunks then distance; here each stage takes the classic
-    left-to-right closest-occurrence one-to-one matching (Banerjee & Lavie
-    2005), which realizes the same objective on caption-length strings in
-    all hand-checked cases.
+  * aligner: matches the jar's objective — the one-to-one unigram
+    alignment maximizing total matches, then minimizing chunks, then
+    maximizing module weight (exact over stem), then minimizing total
+    |i-j| distance — via a beam search over hypothesis positions (width
+    64). Fuzzed against a brute-force oracle on adversarial word orders:
+    the score-relevant stats (matches, chunks, weight) are exactly
+    optimal on every draw; under pruning the final distance tiebreak may
+    select a different but score-identical alignment
+    (tests/test_meteor.py::test_aligner_matches_bruteforce_oracle).
+    Unambiguous alignments (no competing occurrences) take a forced
+    fast path.
 
 The stem stage uses NLTK's SnowballStemmer("english") — the *same*
 algorithm (Porter2/"english" Snowball) as the jar's
@@ -94,28 +100,86 @@ def load_paraphrase_table(path: str) -> Dict[Tuple[str, ...], set]:
     return table
 
 
-def _stage_match(hyp_keys: List[Optional[str]], ref_keys: List[Optional[str]],
-                 hyp_used: List[bool], ref_used: List[bool],
-                 pairs: List[Tuple[int, int, float]], weight: float) -> None:
-    """One matching stage: left-to-right over hyp, each unmatched hyp word
-    takes the closest unmatched ref occurrence of its key (classic METEOR
-    stage resolution; closest-occurrence minimizes crossings, hence chunks).
-    Keys of already-used words are None."""
-    # ref occurrences by key
-    occ: Dict[str, List[int]] = {}
-    for j, k in enumerate(ref_keys):
-        if k is not None and not ref_used[j]:
-            occ.setdefault(k, []).append(j)
-    for i, k in enumerate(hyp_keys):
-        if k is None or hyp_used[i]:
-            continue
-        cands = [j for j in occ.get(k, ()) if not ref_used[j]]
-        if not cands:
-            continue
-        j = min(cands, key=lambda j: (abs(j - i), j))
-        hyp_used[i] = True
-        ref_used[j] = True
-        pairs.append((i, j, weight))
+def _unigram_candidates(hyp: List[str], ref: List[str]
+                        ) -> List[List[Tuple[int, float]]]:
+    """Per hyp position, the ref positions it may link to: exact matches
+    at W_EXACT, else Snowball-stem matches at W_STEM (the jar assigns
+    each word pair its highest-weight matching module)."""
+    ref_st = [_stem(w) for w in ref]
+    cand: List[List[Tuple[int, float]]] = []
+    for w in hyp:
+        links = []
+        ws = _stem(w)
+        for j, rw in enumerate(ref):
+            if w == rw:
+                links.append((j, W_EXACT))
+            elif ws == ref_st[j]:
+                links.append((j, W_STEM))
+        cand.append(links)
+    return cand
+
+
+_BEAM = 64
+
+
+def _search_unigram_alignment(hyp: List[str], ref: List[str]
+                              ) -> List[Tuple[int, int, float]]:
+    """Jar-objective one-to-one unigram alignment: maximize matches, then
+    minimize chunks, then maximize total module weight, then minimize
+    total |i-j| (meteor-1.5 Aligner resolution order).
+
+    Beam search over hyp positions; a state is (ref-used bitmask, last
+    linked (i, j)) scored by the partial objective. Alignments with no
+    competing occurrences are forced and skip the search."""
+    cand = _unigram_candidates(hyp, ref)
+
+    # fast path: every hyp word has <=1 candidate and no ref position is
+    # wanted twice -> the alignment is forced
+    want: Dict[int, int] = {}
+    forced = True
+    for links in cand:
+        if len(links) > 1:
+            forced = False
+            break
+        for j, _ in links:
+            want[j] = want.get(j, 0) + 1
+            if want[j] > 1:
+                forced = False
+        if not forced:
+            break
+    if forced:
+        return [(i, links[0][0], links[0][1])
+                for i, links in enumerate(cand) if links]
+
+    # state: (mask, last_i, last_j) -> (matches, -chunks, weight, -dist,
+    #                                   pairs)
+    start = (0, -9, -9)
+    states = {start: (0, 0, 0.0, 0, ())}
+    for i, links in enumerate(cand):
+        nxt: Dict[Tuple[int, int, int],
+                  Tuple[int, int, float, int, tuple]] = {}
+
+        def consider(key, val):
+            cur = nxt.get(key)
+            if cur is None or val[:4] > cur[:4]:
+                nxt[key] = val
+
+        for (mask, li, lj), (m, nc, w, nd, pairs) in states.items():
+            consider((mask, li, lj), (m, nc, w, nd, pairs))   # skip word i
+            for j, wt in links:
+                if mask >> j & 1:
+                    continue
+                new_chunk = not (li == i - 1 and lj == j - 1)
+                consider((mask | 1 << j, i, j),
+                         (m + 1, nc - (1 if new_chunk else 0), w + wt,
+                          nd - abs(i - j), pairs + ((i, j, wt),)))
+        if len(nxt) > _BEAM:
+            states = dict(sorted(nxt.items(), key=lambda kv: kv[1][:4],
+                                 reverse=True)[:_BEAM])
+        else:
+            states = nxt
+    best = max(states.values(), key=lambda v: v[:4])
+    return list(best[4])
 
 
 def _phrase_spans(words: Sequence[str], used: List[bool],
@@ -143,12 +207,11 @@ def _align(hyp: List[str], ref: List[str],
     """
     hyp_used = [False] * len(hyp)
     ref_used = [False] * len(ref)
-    pairs: List[Tuple[int, int, float]] = []
-
-    _stage_match(list(hyp), list(ref), hyp_used, ref_used, pairs, W_EXACT)
-    hyp_st = [None if hyp_used[i] else _stem(w) for i, w in enumerate(hyp)]
-    ref_st = [None if ref_used[j] else _stem(w) for j, w in enumerate(ref)]
-    _stage_match(hyp_st, ref_st, hyp_used, ref_used, pairs, W_STEM)
+    pairs: List[Tuple[int, int, float]] = list(
+        _search_unigram_alignment(list(hyp), list(ref)))
+    for (i, j, _) in pairs:
+        hyp_used[i] = True
+        ref_used[j] = True
 
     if para:
         # greedy longest-first non-overlapping phrase pairs
