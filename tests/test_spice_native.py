@@ -130,3 +130,44 @@ def test_eval_cli_prefers_jar_else_native(monkeypatch):
     # the native fallback scores the same inputs
     score, _ = NativeSpice().compute_score({0: ["a dog"]}, {0: ["a dog"]})
     assert score == 1.0
+
+
+# ---- corpus-scale robustness (round-5: verdict item #4) --------------------
+
+def test_corpus_parse_coverage_thresholds():
+    """Pin the coverage stats over the 252-caption robustness corpus
+    (realistic COCO/Flickr phrasing: out-of-lexicon verbs, passives,
+    conjunctions, noun/verb homographs). Measured by
+    scripts/spice_coverage.py; numbers recorded in docs/PARITY.md.
+    Floors are set just under the measured values so a lexicon or
+    parser-rule regression trips them."""
+    import os
+    from vsrcic_tpu.metrics.spice import parse_coverage
+    corpus = os.path.join(os.path.dirname(__file__), "data",
+                          "spice_robustness_corpus.txt")
+    with open(corpus) as f:
+        captions = [ln.strip() for ln in f if ln.strip()]
+    assert len(captions) >= 250
+    stats = parse_coverage(captions)
+    # every content token reaches the graph (measured 1.0)
+    assert stats["consumed_frac"] >= 0.99, stats["top_missed"]
+    # verbs land as edges, not mis-parsed nouns (measured 0.9563)
+    assert stats["verb_edge_frac"] >= 0.93
+    assert stats["empty_parse_frac"] == 0.0
+    assert stats["tuples_per_caption"] >= 4.5
+
+
+def test_homograph_compounds_stay_nominal():
+    """The lexicon widening must NOT break NP compounds built on
+    noun/verb homographs — the reason bare homographs are excluded
+    from VERB_BASE (spice.py VERB_BASE comment)."""
+    g = parse_scene_graph("a dog park near a baseball bat")
+    assert ("park",) in g and ("bat",) in g and ("bat", "baseball") in g
+    assert not any(len(t) == 3 and "park" in t[1] for t in g)
+
+
+def test_positional_verb_fallback():
+    """Out-of-lexicon -s/-ed forms before a determiner parse as verbs
+    (the round-4 silent-noun gap): 'grips' is in no lexicon."""
+    g = parse_scene_graph("a man grips a racket")
+    assert ("man", "grip", "racket") in g
