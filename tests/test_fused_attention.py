@@ -120,6 +120,34 @@ def test_fused_step_weights_equivalence():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_wh_pad6_bit_exact(monkeypatch):
+    """VSRCIC_WH_PAD6 (6R zero-padded h-side matmul, one full-width add)
+    is BIT-exact vs the 5R slice-add form: the pad block contributes
+    h1 @ 0 + 0 = +0.0. Covers f32 and the bf16-weight fast path."""
+    from vsrcic_tpu.models.captioner import (
+        CaptionerConfig, _fused_input1_block, derive_fused_step_weights,
+        init_captioner_params)
+    cfg = CaptionerConfig(seq_len=4, vocab_size=20, bos_idx=2,
+                          det_feat_size=16, input_encoding_size=8,
+                          rnn_size=6, att_size=4)
+    params = init_captioner_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(1)
+    in1 = cfg.det_feat_size + cfg.rnn_size + cfg.input_encoding_size
+    x = jnp.asarray(rng.randn(5, in1).astype(np.float32))
+    h = jnp.asarray(rng.randn(5, cfg.rnn_size).astype(np.float32))
+    c = jnp.asarray(rng.randn(5, cfg.rnn_size).astype(np.float32))
+    for dtype in (None, jnp.bfloat16):
+        monkeypatch.delenv("VSRCIC_WH_PAD6", raising=False)
+        fw = derive_fused_step_weights(params, dtype=dtype)
+        base = _fused_input1_block(fw, x, h, c, cfg.rnn_size)
+        monkeypatch.setenv("VSRCIC_WH_PAD6", "1")
+        fw6 = derive_fused_step_weights(params, dtype=dtype)
+        assert fw6["wh"].shape[0] == 6 * cfg.rnn_size
+        pad = _fused_input1_block(fw6, x, h, c, cfg.rnn_size)
+        for a, b in zip(base, pad):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_greedy_sample_fast_path_matches_plain():
     """The greedy/sample feedback decodes through the fast path (fused
     attention interpret + fused step weights + hoisted img projection) match

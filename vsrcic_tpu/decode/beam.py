@@ -64,11 +64,20 @@ def _gather_beam(tree, sel, batch, beam, take_along=False):
 
 def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
                       seq_len: int, eos_word: int, eos_gate: int = -1,
-                      gather_take_along: bool = False) -> BeamResult:
+                      gather_take_along: bool = False,
+                      rec_flat: bool = False) -> BeamResult:
     """Run the joint beam search.
 
     `state` must already be expanded to leading dim batch*beam_size with all
     beams of an item identical (beam 0 is the live one at t=0).
+
+    rec_flat: record per-step logprobs with ONE flat (beam*vocab) gather per
+    side instead of nested take_along_axis over (B, K, V) — and multiply the
+    EOS mask on the K selected values after the beam gather rather than on
+    the full (B, K, V) block before it (identical operand pairs, so
+    bit-exact; see the body note). Threaded from ControllableCaptioner
+    (VSRCIC_REC_FLAT honored once at construction), same convention as
+    gather_take_along.
     """
     k = beam_size
 
@@ -117,8 +126,17 @@ def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
     gates = jnp.zeros((batch, k, seq_len), jnp.int32).at[:, :, 0].set(gate)
     rec = lambda o, s, i: jnp.take_along_axis(
         jnp.take_along_axis(o, s[:, :, None], 1), i[:, :, None], 2)[:, :, 0]
-    w_lp0 = rec(w, sel_beam, word)
-    g_lp0 = rec(g, sel_beam, gate)
+    # flat-record form: one gather over the flattened (beam*V) axis picks
+    # the K selected logprobs directly — no (B, K, V) row-gather
+    # intermediate and no full-block mask multiply
+    recf = lambda o, s, i: jnp.take_along_axis(
+        o.reshape(batch, -1), s * o.shape[-1] + i, 1)
+    if rec_flat:
+        w_lp0 = recf(w, sel_beam, word)
+        g_lp0 = recf(g, sel_beam, gate)
+    else:
+        w_lp0 = rec(w, sel_beam, word)
+        g_lp0 = rec(g, sel_beam, gate)
     word_logps = jnp.zeros((batch, k, seq_len)).at[:, :, 0].set(w_lp0)
     gate_logps = jnp.zeros((batch, k, seq_len)).at[:, :, 0].set(g_lp0)
     mask_w = jnp.ones((batch, k))
@@ -136,8 +154,9 @@ def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
         # EOS masks from previously selected outputs (ref :228-229)
         mask_w = mask_w * (word != eos_word)
         mask_g = mask_g * (gate != eos_gate)
-        w_rec = w * mask_w[:, :, None]
-        g_rec = g * mask_g[:, :, None]
+        if not rec_flat:
+            w_rec = w * mask_w[:, :, None]
+            g_rec = g * mask_g[:, :, None]
 
         # finished-beam freeze (ref :231-235): keep old score at word 0 only
         mask_full = jnp.clip(mask_w + mask_g, 0.0, 1.0)
@@ -155,8 +174,17 @@ def beam_search_joint(step_fn: Callable, state: Any, batch: int, beam_size: int,
         # history along the selected beams (ref :273 — only `outputs` go
         # through _select_beam), so recorded logps track beam *slots*, not
         # ancestries. Reproduced for parity.
-        word_logps = word_logps.at[:, :, t].set(rec(w_rec, sel_beam, word))
-        gate_logps = gate_logps.at[:, :, t].set(rec(g_rec, sel_beam, gate))
+        if rec_flat:
+            # (w * mask)[b, sel, word] == w[b, sel, word] * mask[b, sel]:
+            # the masks gathered along sel_beam above are exactly the
+            # factors the (B, K, V) pre-multiply would have applied
+            word_logps = word_logps.at[:, :, t].set(
+                recf(w, sel_beam, word) * mask_w)
+            gate_logps = gate_logps.at[:, :, t].set(
+                recf(g, sel_beam, gate) * mask_g)
+        else:
+            word_logps = word_logps.at[:, :, t].set(rec(w_rec, sel_beam, word))
+            gate_logps = gate_logps.at[:, :, t].set(rec(g_rec, sel_beam, gate))
         return (state, seq_logprob, mask_w, mask_g, word, gate,
                 words, gates, word_logps, gate_logps), None
 

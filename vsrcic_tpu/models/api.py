@@ -86,6 +86,14 @@ class ControllableCaptioner:
             beam_select_passenger = bool(int(
                 os.environ.get("VSRCIC_SELECT_PASSENGER", "1")))
         self.beam_select_passenger = beam_select_passenger
+        # dense-beam logprob record form: flat (beam*V) gather with the EOS
+        # mask applied to the K selected values (True) vs nested
+        # take_along_axis over a pre-masked (B, K, V) block (False). Bit-
+        # exact either way (tests/test_beam_more.py). Env honored once, at
+        # construction.
+        import os as _os
+        self.beam_rec_flat = bool(int(
+            _os.environ.get("VSRCIC_REC_FLAT", "0")))
         self._fused_cache = {}
         self.decode_dtype = decode_dtype
         self.table_dtype = table_dtype
@@ -298,7 +306,8 @@ class ControllableCaptioner:
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,
                                  eos_word=eos_word,
-                                 gather_take_along=self.beam_gather_take_along)
+                                 gather_take_along=self.beam_gather_take_along,
+                                 rec_flat=self.beam_rec_flat)
 
     def _beam_impl(self, params, detections, det_groups, beam_size, eos_word):
         b = detections.shape[0]
@@ -313,7 +322,8 @@ class ControllableCaptioner:
         return beam_search_joint(step_fn, init_state(self.cfg, b * beam_size),
                                  b, beam_size, self.cfg.seq_len,
                                  eos_word=eos_word,
-                                 gather_take_along=self.beam_gather_take_along)
+                                 gather_take_along=self.beam_gather_take_along,
+                                 rec_flat=self.beam_rec_flat)
 
     # -- public API (reference parity) ---------------------------------------
     def forward(self, detections, captions, ctrl_det_seqs):

@@ -145,6 +145,23 @@ def derive_fused_step_weights(params, dtype=None, cfg=None):
         out["b2"] = (params["lstm_cell_2"]["bias_ih"]
                      + params["lstm_cell_2"]["bias_hh"])
         out["sfc_w"] = params["s_fc"]["weight"].astype(dtype)
+    import os
+    if os.environ.get("VSRCIC_WH_PAD6", "0") == "1":
+        # A/B knob (round 5): pad the h-side fused matmul to 6R with a zero
+        # block at rows [R, 2R) (the g-gate-x slice has no h1 term, ref
+        # controllable_captioning.py:181) so y_x + y_h is ONE full-width
+        # (B, 6R) add the compiler can keep in the matmul epilogue, instead
+        # of the profiled separate slice-add passes ('x-proj slice-add',
+        # 0.24 ms/step in the post-8044 autopsy). Bit-exact: the pad
+        # contributes h1 @ 0 + 0 = +0.0 in f32 or bf16. Costs one extra
+        # (B, R) x (R, R) matmul block (~0.06 ms at the measured MXU rate).
+        r_ = params["W1_hs"]["weight"].shape[0]
+        zw = jnp.zeros((r_, r_), out["wh"].dtype)
+        out["wh"] = jnp.concatenate(
+            [out["wh"][:r_], zw, out["wh"][r_:]], 0)
+        out["bh"] = jnp.concatenate(
+            [out["bh"][:r_], jnp.zeros((r_,), out["bh"].dtype),
+             out["bh"][r_:]], 0)
     return out
 
 
@@ -176,9 +193,15 @@ def _fused_input1_block(fused_w, input_1, h1_prev, c1_prev, rnn_size,
         y_x = input_1 @ wx.T                              # (B, 6R)
         y_h = h1_prev @ fused_w["wh"].T + fused_w["bh"]   # (B, 5R)
     y_x = y_x + (fused_w["bx"] if img_y is None else img_y)
-    s_gate = jax.nn.sigmoid(y_x[:, :r] + y_h[:, :r])
-    g_pre_x = y_x[:, r:2 * r]
-    gates = y_x[:, 2 * r:] + y_h[:, r:]
+    if y_h.shape[-1] == 6 * r:          # VSRCIC_WH_PAD6 layout (A/B knob)
+        y = y_x + y_h                   # one full-width add; pad block +0.0
+        s_gate = jax.nn.sigmoid(y[:, :r])
+        g_pre_x = y[:, r:2 * r]
+        gates = y[:, 2 * r:]
+    else:
+        s_gate = jax.nn.sigmoid(y_x[:, :r] + y_h[:, :r])
+        g_pre_x = y_x[:, r:2 * r]
+        gates = y_x[:, 2 * r:] + y_h[:, r:]
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c1 = jax.nn.sigmoid(f) * c1_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
     h1 = jax.nn.sigmoid(o) * jnp.tanh(c1)
