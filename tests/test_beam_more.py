@@ -23,6 +23,10 @@ def test_gather_beam_flat_matches_take_along(monkeypatch):
                                       np.asarray(ta[key]))
 
 
+import pytest
+
+
+@pytest.mark.slow  # ~45s: four full-beam jit compiles on CPU
 def test_rec_flat_bit_exact(monkeypatch):
     """The flat logprob-record form (rec_flat=True: one (beam*V) gather +
     mask on the K selected values) returns a BeamResult identical to the

@@ -6,6 +6,10 @@ greedy / beam outputs are compared.
 """
 import numpy as np
 import pytest
+
+# heavyweight (~32s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
 import torch
 
 import jax

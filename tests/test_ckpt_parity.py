@@ -27,6 +27,10 @@ import importlib.util
 
 import numpy as np
 import pytest
+
+# heavyweight (~87s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
 import torch
 
 import jax.numpy as jnp

@@ -62,6 +62,10 @@ def test_cli_lifecycle_coco(tmp_path, capsys):
 
 import pytest
 
+# heavyweight (~496s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("gt", [False, True])
 def test_cli_eval_flickr_det_smoke(capsys, gt):

@@ -8,6 +8,10 @@ Hungarian rounding -> rank merge -> feature permutation -> joint beam search
 import numpy as np
 import pytest
 
+# heavyweight (~55s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
+
 import jax
 
 from vsrcic_tpu.data import (

@@ -8,6 +8,10 @@ on Flickr entity annotations with best-IoU box matching (ref :1171-1196).
 import numpy as np
 import pytest
 
+# heavyweight (~42s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
+
 from vsrcic_tpu.data import FlickrControlSequenceField
 from vsrcic_tpu.data.synthetic_flickr import SyntheticFlickr
 

@@ -3,6 +3,10 @@
 recorded in docs/ENGINEERING_NOTES.md)."""
 import numpy as np
 import pytest
+
+# heavyweight (~79s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

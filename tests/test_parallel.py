@@ -15,8 +15,11 @@ from vsrcic_tpu.parallel import (make_mesh, replicate, shard_batch,
                                  sharded_beam_search_v)
 from vsrcic_tpu.train import CaptionerXETrainer
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+# heavyweight (~244s on a 1-core host: GSPMD mesh compiles) — excluded
+# from the smoke tier, run via the full matrix: `python -m pytest tests/`
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices"),
+              pytest.mark.slow]
 
 B, L, M, D = 8, 4, 3, 16
 

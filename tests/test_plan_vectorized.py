@@ -6,6 +6,10 @@ of oversized roles, multi-verb rank merges and verb_list permutation.
 import numpy as np
 import pytest
 
+# heavyweight (~48s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
+
 import jax
 
 from vsrcic_tpu.models.api import ControllableCaptioner

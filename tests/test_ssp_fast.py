@@ -15,6 +15,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# heavyweight (~130s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
+
 from vsrcic_tpu.models.s_ssp import (
     SSPConfig, init_ssp_params, ssp_generate, ssp_generate_fast)
 

@@ -1,6 +1,10 @@
 """Golden parity: S-level SSP planner vs the reference torch S_SSP."""
 import numpy as np
 import pytest
+
+# heavyweight (~27s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
 import torch
 
 import jax

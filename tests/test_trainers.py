@@ -2,6 +2,10 @@
 import numpy as np
 import pytest
 
+# heavyweight (~147s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -10,6 +10,10 @@ seas.
 import numpy as np
 import pytest
 
+# heavyweight (~112s on a 1-core host) — excluded from the smoke tier,
+# run via the full matrix: `python -m pytest tests/`
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
