@@ -134,10 +134,19 @@ def main():
     params = init_captioner_params(jax.random.PRNGKey(0), cfg)
     trainer = CaptionerXETrainer(cfg, params, lr=5e-4)
 
+    def _stage(batch):
+        # mirror cli/train.py: the producer thread dispatches the async
+        # device_put of the dominant tensor so batch k+1's copy rides
+        # under batch k's step
+        (dets, ids), det_out, caps = batch
+        return (jax.device_put(dets), ids), det_out, caps
+
     def epoch(run_step=True, loader_only=False):
-        loader = PrefetchLoader(
-            DataLoader(ds, batch_size=args.batch, shuffle=True, seed=7),
-            depth=2)
+        from vsrcic_tpu.data import DevicePrefetchLoader
+        base_loader = DataLoader(ds, batch_size=args.batch, shuffle=True,
+                                 seed=7)
+        loader = (PrefetchLoader(base_loader, depth=2) if loader_only
+                  else DevicePrefetchLoader(base_loader, _stage, depth=2))
         n = 0
         losses = []
         t0 = time.perf_counter()
@@ -151,7 +160,11 @@ def main():
             losses.append(loss)
         if losses:
             float(losses[-1])           # drain the async dispatch queue
-        return n, time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        print("  pass(%s) %d ex in %.1fs (%.1f ex/s)"
+              % ("ingest" if loader_only else "e2e", n, dt, n / dt),
+              file=sys.stderr, flush=True)
+        return n, dt
 
     # compile + cold-cache pass, then timed warm epochs
     out = {"metric": "xe_epoch_examples_per_sec", "unit": "examples/s",

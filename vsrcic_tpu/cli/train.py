@@ -92,11 +92,21 @@ def main(argv=None):
     val_ds = PairedDataset(val_ex, {"image": image_field,
                                     "detection": det_field,
                                     "text": RawField()})
-    from vsrcic_tpu.data import PrefetchLoader
-    loader_train = PrefetchLoader(
-        DataLoader(train_ds, batch_size=opt.batch_size,
-                   shuffle=not opt.sample_rl, seed=opt.seed,
-                   num_workers=opt.nb_workers), depth=2)
+    from vsrcic_tpu.data import DevicePrefetchLoader, PrefetchLoader
+    raw_train = DataLoader(train_ds, batch_size=opt.batch_size,
+                           shuffle=not opt.sample_rl, seed=opt.seed,
+                           num_workers=opt.nb_workers)
+    if opt.data_parallel:
+        # GSPMD owns placement: dp_batches reshards onto the mesh
+        loader_train = PrefetchLoader(raw_train, depth=2)
+    else:
+        # stage the batch's dominant tensor (detections, B x N x D) from
+        # the producer thread: batch k+1's async host->device copy rides
+        # under batch k's step instead of serializing in front of it
+        def _stage(batch):
+            (dets, ids), det_out, caps = batch
+            return (jax.device_put(dets), ids), det_out, caps
+        loader_train = DevicePrefetchLoader(raw_train, _stage, depth=2)
     loader_val = DataLoader(val_ds, batch_size=min(16, opt.batch_size))
 
     cfg = CaptionerConfig(seq_len=20, vocab_size=len(tf.vocab),

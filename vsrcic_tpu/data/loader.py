@@ -56,13 +56,32 @@ class PrefetchLoader:
             yield item
 
 
-class DevicePrefetchLoader(PrefetchLoader):
-    """Prefetch + asynchronous host->device transfer of each batch."""
+class _MappedIterable:
+    """Apply fn to each item of an iterable, preserving len()."""
 
-    def __init__(self, loader, put_fn: Callable[[Any], Any], depth: int = 2):
-        super().__init__(loader, depth=depth)
-        self.put_fn = put_fn
+    def __init__(self, loader, fn):
+        self.loader, self.fn = loader, fn
+
+    def __len__(self):
+        return len(self.loader)
 
     def __iter__(self):
-        for batch in super().__iter__():
-            yield self.put_fn(batch)
+        for item in self.loader:
+            yield self.fn(item)
+
+
+class DevicePrefetchLoader(PrefetchLoader):
+    """Prefetch + device-put-AHEAD host->device transfer of each batch.
+
+    `put_fn` (e.g. a `jax.device_put` of the batch's big tensors) runs in
+    the PRODUCER thread, so batch k+1's asynchronous transfer is dispatched
+    while the consumer is still computing on batch k — the copy rides under
+    the step instead of serializing in front of it. With `put_fn` applied
+    at yield time (the naive form) the consumer's step k would always wait
+    on a transfer that only started when the batch was yielded. `depth`
+    bounds the number of batches resident on device ahead of the consumer.
+    """
+
+    def __init__(self, loader, put_fn: Callable[[Any], Any], depth: int = 2):
+        super().__init__(_MappedIterable(loader, put_fn), depth=depth)
+        self.put_fn = put_fn
