@@ -89,11 +89,13 @@ class ControllableCaptioner:
         # dense-beam logprob record form: flat (beam*V) gather with the EOS
         # mask applied to the K selected values (True) vs nested
         # take_along_axis over a pre-masked (B, K, V) block (False). Bit-
-        # exact either way (tests/test_beam_more.py). Env honored once, at
-        # construction.
+        # exact either way (tests/test_beam_more.py); on-chip A/B 521 vs
+        # 577 ms/1024-decode on the strict path (+10.7%,
+        # scripts/ab_rec_flat.py) — flat is the default. Env honored once,
+        # at construction.
         import os as _os
         self.beam_rec_flat = bool(int(
-            _os.environ.get("VSRCIC_REC_FLAT", "0")))
+            _os.environ.get("VSRCIC_REC_FLAT", "1")))
         self._fused_cache = {}
         self.decode_dtype = decode_dtype
         self.table_dtype = table_dtype
