@@ -66,6 +66,13 @@ def main():
     ap.add_argument("--fast_ssp", type=int, default=1)
     ap.add_argument("--profile_plan", action="store_true",
                     help="also print a per-slice plan-phase breakdown")
+    ap.add_argument("--profile_plan_device", action="store_true",
+                    help="RTT-free per-program plan timing: enqueue K "
+                    "identical dispatches of each device program and sync "
+                    "ONCE, so the per-iteration figure is device compute "
+                    "(plus amortized dispatch), not a tunnel round trip "
+                    "per call like --profile_plan's block_until_ready "
+                    "slices")
     ap.add_argument("--data_parallel", type=int, default=0,
                     help="run the FULLY sharded pipeline over an N-device "
                     "mesh (all plan phases GSPMD + shard_map beam); on one "
@@ -210,6 +217,61 @@ def main():
             seqs_all_dev[0], jnp.asarray(rank_idx), jnp.asarray(rank_valid),
             seqs_all_dev[1])))
         print(json.dumps({"plan_breakdown": sl, "groups": len(ga.verbs)}))
+
+    if args.profile_plan_device:
+        from vsrcic_tpu.pipelines.sr_groups import extract_verb_groups_arrays
+        K = max(args.iters or 8, 8)
+        cv = np.stack([j.control_verb for j in jobs])
+        dv = np.stack([j.det_seqs_v for j in jobs])
+        dsr = np.stack([j.det_seqs_sr for j in jobs])
+        ga = extract_verb_groups_arrays(cv, dv, dsr)
+
+        def t_deep(fn):
+            fn()  # warm (compile + first transfer)
+            jax.block_until_ready(fn())
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(K):
+                r = fn()
+            jax.block_until_ready(r)
+            return round((time.perf_counter() - t0) * 1e3 / K, 2)
+
+        sld = {"k_deep": K}
+        verbs_d = jnp.asarray(ga.verbs[:, None])
+        dsr_d = ga.det_sr  # host: _ssp_gen reads slot count from numpy
+        sld["ssp_ms"] = t_deep(lambda: pipe._ssp_gen(verbs_d, dsr_d)[0])
+        n = pipe.sinkhorn_len
+        plen, pair_off = ga.pair_len, ga.pair_off
+        multi = np.nonzero(plen > 1)[0]
+        if multi.size:
+            m = np.where(plen > 1, np.minimum(plen, n), plen)[multi]
+            owner = jnp.asarray(ga.owners[ga.pair_group[multi]]
+                                .astype(np.int32))
+            within = np.arange(n)[None, :]
+            valid = within < m[:, None]
+            lo = pair_off[:-1][multi][:, None]
+            hi = pair_off[1:][multi][:, None]
+            locs_pad = jnp.asarray(np.where(
+                valid, ga.slot_flat[np.minimum(lo + within, hi - 1)], 0
+            ).astype(np.int32))
+            valid_d = jnp.asarray(valid)
+            sld["sinkhorn_ms"] = t_deep(lambda: pipe._sinkhorn_gather(
+                *sink_feats, owner, locs_pad, valid_d))
+            sld["n_pairs"] = int(multi.size)
+        rank_idx, rank_valid, _ = pipe.plan_rank_batch(
+            jobs, sink_feats=sink_feats)
+        ri, rv = jnp.asarray(rank_idx), jnp.asarray(rank_valid)
+        sld["recons_ms"] = t_deep(lambda: pipe._build_recons(
+            seqs_all_dev[0], ri, rv, seqs_all_dev[1]))
+        # the beam on the same harness, for a same-units denominator
+        vls = np.where(rank_valid, 0.0, -1.0)
+        recons_d = pipe._build_recons(seqs_all_dev[0], ri, rv,
+                                      seqs_all_dev[1])
+        sld["beam_ms"] = t_deep(lambda: pipe.captioner.beam_search_v(
+            dets_dev, recons_d, vls, eos_word=3,
+            beam_size=args.beam).words)
+        print(json.dumps({"plan_device_rtt_free": sld,
+                          "groups": len(ga.verbs)}))
 
     t_plan = t_total = 0.0
     for _ in range(iters):
